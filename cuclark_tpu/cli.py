@@ -1,0 +1,270 @@
+"""Command-line interface.
+
+Mirrors the reference binary's flag surface (src/main.cc:107-239:
+-k -t -T -D -O -R -P -g -s -b -n --extended) and the workflow shell
+scripts (set_targets.sh, classify_metagenome.sh, make_metadata.sh) as
+subcommands of one `cuclark-tpu` entry point:
+
+  cuclark-tpu build-db   -T targets.txt -D dbdir [-k 31] [--light] ...
+  cuclark-tpu classify   -T targets.txt -D dbdir -O reads.fa -R out.csv ...
+  cuclark-tpu set-targets <dbdir> <refdir...> --rank species
+  cuclark-tpu abundance  -R out.csv [-D dbdir]
+  cuclark-tpu targets-def ...   (taxonomy pipeline, see taxonomy/)
+
+The reference builds the DB implicitly on first classify
+(CuCLARK ctor, src/CuCLARK_hh.hh:221-310); `classify` here does the
+same when the database artifact is missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+from cuclark_tpu.config import (
+    ClassifyConfig,
+    DBConfig,
+    DEFAULT_GAP_LIGHT,
+    DEFAULT_K_LIGHT,
+)
+
+
+def _db_path(dbdir: Path, cfg: DBConfig, num_targets: int) -> Path:
+    from cuclark_tpu.db_build.builder import db_name
+
+    return dbdir / db_name(cfg, num_targets)
+
+
+def _find_db(dbdir: Path) -> Path | None:
+    cands = sorted(dbdir.glob("db_k*.npz"))
+    return cands[0] if cands else None
+
+
+def _build_cfg(args) -> DBConfig:
+    k = args.k
+    gap = args.gap
+    if getattr(args, "light", False):
+        # cuCLARK-l preset: k=27, every-4th-k-mer DB (src/main.cc:241-249)
+        k = DEFAULT_K_LIGHT
+        if gap == 1:
+            gap = DEFAULT_GAP_LIGHT
+    return DBConfig(k=k, gap=gap, min_count=args.min_freq_target,
+                    slots=args.slots, num_choices=args.choices,
+                    target_load=args.load)
+
+
+def cmd_build_db(args) -> int:
+    from cuclark_tpu.db_build.builder import build_db, parse_targets_file
+
+    cfg = _build_cfg(args)
+    file_labels = parse_targets_file(args.targets)
+    t0 = time.time()
+    db = build_db(
+        file_labels, cfg,
+        progress=lambda fp, lb: print(f"  {fp} -> {lb}", file=sys.stderr),
+    )
+    dbdir = Path(args.db_dir)
+    dbdir.mkdir(parents=True, exist_ok=True)
+    out = _db_path(dbdir, cfg, db.num_targets)
+    db.save(out)
+    print(
+        f"Built DB: {db.num_kmers} target-specific {cfg.k}-mers, "
+        f"{db.num_targets} targets, {1 << db.nb_bits} buckets x {db.slots} slots "
+        f"({db.table.nbytes / 1e6:.1f} MB) in {time.time() - t0:.1f}s -> {out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_classify(args) -> int:
+    from cuclark_tpu.hashdb import KmerDB
+    from cuclark_tpu.io import fasta
+    from cuclark_tpu.io.csv_out import write_results
+    from cuclark_tpu.pipeline import Classifier
+
+    dbdir = Path(args.db_dir)
+    dbp = _find_db(dbdir)
+    if dbp is None:
+        if not args.targets:
+            print(f"No database in {dbdir} and no -T targets to build one.",
+                  file=sys.stderr)
+            return 1
+        print("Database not found; building it first...", file=sys.stderr)
+        rc = cmd_build_db(args)
+        if rc:
+            return rc
+        dbp = _find_db(dbdir)
+
+    db = KmerDB.load(dbp, sample_factor=args.sfactor)
+    cfg = ClassifyConfig(batch_reads=args.batch, extended=args.extended,
+                         sample_factor=args.sfactor)
+    clf = Classifier(db, cfg)
+
+    jobs = []
+    if args.paired:
+        jobs.append((fasta.read_paired_records(args.paired[0], args.paired[1]),
+                     args.results, True))
+    else:
+        pairs = fasta.parse_file_list(args.objects)
+        if pairs is None:
+            jobs.append((fasta.read_records(args.objects), args.results, False))
+        else:
+            # multi-file mode (src/CuCLARK_hh.hh:382-506)
+            for obj, res in pairs:
+                jobs.append((fasta.read_records(obj), res, False))
+
+    for records, out_path, paired in jobs:
+        t0 = time.time()
+        n = 0
+
+        def _counted(it):
+            nonlocal n
+            for r in it:
+                n += 1
+                yield r
+
+        rows = clf.classify_records(_counted(records), paired=paired)
+        write_results(out_path, rows, db.target_names, extended=args.extended)
+        dt = time.time() - t0
+        # reference prints objects/min (src/CuCLARK_hh.hh:1940-1943)
+        print(
+            f" - Assignment time: {dt:.6g} s. Speed: "
+            f"{int(n / dt * 60.0) if dt > 0 else 0} objects/min. ({n} objects).",
+        )
+        print(f" - Results stored in {out_path}")
+    return 0
+
+
+def cmd_abundance(args) -> int:
+    """Per-target read counts + proportions from a result CSV — the
+    CLARK-side estimate_abundance summary (README.md:58-80 notes CLARK's
+    scripts consume this CSV format)."""
+    import csv as _csv
+
+    counts: dict[str, int] = {}
+    total = 0
+    with open(args.results) as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        try:
+            col = header.index("1st_assignment")
+        except ValueError:
+            print("not a cuclark result CSV", file=sys.stderr)
+            return 1
+        for row in reader:
+            if not row:
+                continue
+            t = row[col]
+            counts[t] = counts.get(t, 0) + 1
+            total += 1
+    min_conf = args.min_confidence
+    print("Name,Count,Proportion_All(%)")
+    for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
+        print(f"{name},{c},{100.0 * c / total:.4f}")
+    return 0
+
+
+def cmd_set_targets(args) -> int:
+    from cuclark_tpu.taxonomy.targets import set_targets
+
+    return set_targets(args)
+
+
+def cmd_info(args) -> int:
+    from cuclark_tpu.hashdb import KmerDB
+
+    dbp = _find_db(Path(args.db_dir))
+    if dbp is None:
+        print("no database found", file=sys.stderr)
+        return 1
+    db = KmerDB.load(dbp)
+    info = {
+        "path": str(dbp),
+        "k": db.k,
+        "num_kmers": db.num_kmers,
+        "num_targets": db.num_targets,
+        "buckets": db.nb,
+        "slots": db.slots,
+        "num_choices": db.num_choices,
+        "gap": db.gap,
+        "table_mb": round(db.table.nbytes / 1e6, 2),
+        "load_factor": round(db.num_kmers / (db.nb * db.slots), 4),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def _add_db_args(p):
+    p.add_argument("-k", type=int, default=31, help="k-mer length [31]")
+    p.add_argument("-t", "--min-freq-target", type=int, default=0,
+                   help="minimum k-mer frequency in target [0]")
+    p.add_argument("-g", "--gap", type=int, default=1,
+                   help="k-mer sampling stride for DB build [1; light=4]")
+    p.add_argument("--light", action="store_true",
+                   help="light preset: k=27, gap=4 (cuCLARK-l)")
+    p.add_argument("--slots", type=int, default=8, help="hash bucket slots [8]")
+    p.add_argument("--choices", type=int, default=2, choices=(1, 2),
+                   help="hash choices per key [2]")
+    p.add_argument("--load", type=float, default=0.75,
+                   help="target hash load factor [0.75]")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="cuclark-tpu",
+        description="TPU-native metagenomic read classifier (CuCLARK capabilities)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-db", help="build target-specific k-mer database")
+    b.add_argument("-T", "--targets", required=True, help="targets definition file")
+    b.add_argument("-D", "--db-dir", required=True, help="database directory")
+    _add_db_args(b)
+    b.set_defaults(fn=cmd_build_db)
+
+    c = sub.add_parser("classify", help="classify reads against a database")
+    c.add_argument("-T", "--targets", help="targets definition (for implicit build)")
+    c.add_argument("-D", "--db-dir", required=True)
+    c.add_argument("-O", "--objects", help="reads file (or objects/results list)")
+    c.add_argument("-R", "--results", help="output CSV")
+    c.add_argument("-P", "--paired", nargs=2, metavar=("R1", "R2"),
+                   help="paired-end mates")
+    c.add_argument("-s", "--sfactor", type=int, default=1,
+                   help="query-time bucket sampling factor [1]")
+    c.add_argument("-b", "--batch", type=int, default=16384,
+                   help="reads per device batch [16384]")
+    c.add_argument("--extended", action="store_true",
+                   help="emit dense per-target hit columns")
+    _add_db_args(c)
+    c.set_defaults(fn=cmd_classify)
+
+    a = sub.add_parser("abundance", help="summarize a result CSV")
+    a.add_argument("-R", "--results", required=True)
+    a.add_argument("--min-confidence", type=float, default=0.0)
+    a.set_defaults(fn=cmd_abundance)
+
+    st = sub.add_parser("set-targets", help="build targets.txt from reference dirs")
+    st.add_argument("db_dir")
+    st.add_argument("ref_dirs", nargs="+")
+    st.add_argument("--rank", default="species",
+                    choices=["species", "genus", "family", "order", "class", "phylum", "custom"])
+    st.add_argument("--taxonomy-dir", help="dir with nodes.dmp / accession2taxid")
+    st.set_defaults(fn=cmd_set_targets)
+
+    i = sub.add_parser("info", help="print database info")
+    i.add_argument("-D", "--db-dir", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,84 @@
+"""Runtime and database configuration.
+
+The reference fixes its knobs at compile time (src/parameters.hh:35-54,
+src/parameters_light_hh:35-55: HTSIZE, MAXHITS, RESERVED, key widths).
+Here they are plain runtime dataclasses; XLA specializes the compiled
+program on the values that matter (k, slot count, table size) because
+they flow in as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Reference constant parity (src/parameters.hh, src/dataType.hh):
+MAXK = 32           # max k-mer length (src/parameters.hh:41)
+MTRGTS = 65535      # max number of targets (src/dataType.hh:44)
+OBJECTNAMEMAX = 40  # read-name truncation incl. NUL (src/parameters.hh:51)
+NBN = 1             # number of 'N's joining paired mates (src/parameters.hh:53)
+
+# Full/light presets mirror the reference's two build variants
+# (cuCLARK vs cuCLARK-l, src/Makefile:26-33) as runtime presets.
+DEFAULT_K_FULL = 31
+DEFAULT_K_LIGHT = 27
+DEFAULT_GAP_LIGHT = 4   # light DB samples every 4th k-mer (src/main.cc:241-249)
+
+
+@dataclasses.dataclass(frozen=True)
+class DBConfig:
+    """Database build parameters.
+
+    k:             k-mer length, 2..32.
+    gap:           build-time k-mer sampling stride (1 = every k-mer;
+                   light mode uses 4; reference src/CuCLARK_hh.hh:726).
+    min_count:     minimum occurrence count for a target-specific k-mer
+                   to be kept (reference -t flag, src/main.cc:117-123).
+    slots:         hash bucket width (entries per bucket row).
+    target_load:   desired table load factor; bucket count is the next
+                   power of two reaching it.
+    num_choices:   1 or 2 hash choices per key. Two-choice keeps high
+                   load factors overflow-free; one-choice probes half
+                   the bytes but needs a low load factor.
+    """
+
+    k: int = DEFAULT_K_FULL
+    gap: int = 1
+    min_count: int = 0
+    slots: int = 8
+    target_load: float = 0.75
+    num_choices: int = 2
+
+    def __post_init__(self):
+        if not (2 <= self.k <= MAXK):
+            raise ValueError(f"k must be in [2, {MAXK}], got {self.k}")
+        if self.gap < 1:
+            raise ValueError("gap must be >= 1")
+        if self.num_choices not in (1, 2):
+            raise ValueError("num_choices must be 1 or 2")
+        if self.slots < 1:
+            raise ValueError("slots must be >= 1")
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifyConfig:
+    """Online classification parameters.
+
+    batch_reads:    reads per device batch (padded to this size).
+    max_read_len:   padded read length in bases per batch bin; longer
+                    reads fall into larger bins (pipeline handles
+                    binning) so short-read batches stay dense.
+    sample_factor:  query-time bucket subsampling (reference -s flag,
+                    src/CuClarkDB.cu:508-524 keeps every s-th nonzero
+                    bucket; here: every s-th bucket by index).
+    extended:       emit dense per-target hit columns
+                    (reference --extended, src/CuCLARK_hh.hh:2014-2031).
+    """
+
+    batch_reads: int = 16384
+    max_read_len: int = 256
+    sample_factor: int = 1
+    extended: bool = False
+
+    def __post_init__(self):
+        if self.sample_factor < 1:
+            raise ValueError("sample_factor must be >= 1")

@@ -1,0 +1,126 @@
+"""FASTA/FASTQ reading and paired-end merging.
+
+Parity notes vs the reference host scanner
+(src/CuCLARK_hh.hh:1335-1551, src/file.cc:205-268):
+ - record name = token after '>'/'@' up to the first space/tab/newline
+   (m_separators, src/CuCLARK_hh.hh:300), truncated by the writer to
+   OBJECTNAMEMAX-1 chars;
+ - FASTA sequences may span multiple lines; length = sequence chars
+   (newlines excluded);
+ - FASTQ = 4-line records, sequence on line 2;
+ - paired-end mates are joined with a single 'N' (mergePairedFiles,
+   src/file.cc:205-268) so no k-mer spans the junction; the joined
+   length is normalized by NBN=1 when writing results;
+ - gzipped inputs are transparently decompressed (the reference shell
+   wrapper's --gzipped staging, classify_metagenome.sh:103-120).
+
+The reference's OpenMP byte-range boundary scan exists to parallelize
+mmap scanning; here record iteration is a single linear pass feeding
+the packer (a native C scanner can replace it; profile first — the
+device probe is the designed bottleneck).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from pathlib import Path
+
+
+def _open(path):
+    p = str(path)
+    raw = open(p, "rb")
+    head = raw.read(2)
+    raw.seek(0)
+    if head == b"\x1f\x8b":
+        return gzip.open(raw)
+    return raw
+
+
+def sniff_format(path) -> str:
+    with _open(path) as f:
+        first = f.read(1)
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise ValueError(f"unrecognized sequence file format: {path}")
+
+
+def _name_of(header: bytes) -> str:
+    """Token after the marker char up to the first space/tab."""
+    for sep in (b" ", b"\t"):
+        idx = header.find(sep)
+        if idx >= 0:
+            header = header[:idx]
+    return header.decode("ascii", "replace")
+
+
+def read_records(path):
+    """Yield (name, seq_bytes) from a FASTA or FASTQ file."""
+    fmt = sniff_format(path)
+    with _open(path) as f:
+        bio = io.BufferedReader(f) if not isinstance(f, io.BufferedReader) else f
+        if fmt == "fasta":
+            name = None
+            chunks = []
+            for line in bio:
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield name, b"".join(chunks)
+                    name = _name_of(line[1:])
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                yield name, b"".join(chunks)
+        else:
+            while True:
+                header = bio.readline()
+                if not header:
+                    break
+                seq = bio.readline().rstrip(b"\r\n")
+                bio.readline()  # '+'
+                bio.readline()  # quals
+                yield _name_of(header[1:].rstrip(b"\r\n")), seq
+
+
+def read_paired_records(path1, path2):
+    """Yield (name, seq1 + b'N' + seq2) — mergePairedFiles semantics.
+
+    Mate id match is by record order, as the reference merger walks both
+    files in lockstep (src/file.cc:205-268).  Names come from file 1.
+    """
+    it1 = read_records(path1)
+    it2 = read_records(path2)
+    for (n1, s1), (_n2, s2) in zip(it1, it2):
+        yield n1, s1 + b"N" + s2
+
+
+def parse_file_list(path) -> list[tuple[str, str]] | None:
+    """Reference multi-file mode (-O/-R lists, src/CuCLARK_hh.hh:382-506):
+    if the first line of the objects file has two whitespace-separated
+    columns that both name readable files... here: a '.list'/'.txt' file
+    whose lines are '<objects> <results>' pairs.  Returns None if `path`
+    is itself a sequence file."""
+    try:
+        fmt = sniff_format(path)
+        return None  # plain sequence file
+    except (ValueError, UnicodeDecodeError):
+        pass
+    pairs = []
+    for line in Path(path).read_text(errors="replace").splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.split()
+        if len(parts) != 2 or not Path(parts[0]).exists():
+            # neither a sequence file nor an objects/results list —
+            # reference: "Failed to recognize the format of the file."
+            raise ValueError(
+                f"Failed to recognize the format of {path}: not FASTA/FASTQ "
+                f"and not an '<objects> <results>' list (bad line: {line!r})"
+            )
+        pairs.append((parts[0], parts[1]))
+    return pairs

@@ -1,0 +1,66 @@
+"""Device-side hash table probe.
+
+The TPU analog of the reference's queryElement device function
+(src/CuClarkDB.cu:1249-1314).  Where the GPU does divmod-by-HTSIZE,
+a bucket-pointer chase, and a data-dependent linear scan of sorted
+quotients, this does: mask-based bucketing, one contiguous row gather
+per hash choice, and a fully vectorized S-slot compare.
+
+Sharding: the table's bucket rows are range-sharded along a `db` mesh
+axis.  Each shard probes only buckets it owns (out-of-range probes
+contribute 0) — the same windowing idea as the reference's DB-part
+check (src/CuClarkDB.cu:1271-1274) but resolved by a mask instead of
+control flow, so the whole thing stays one jitted SPMD program and the
+cross-shard merge is a single psum.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cuclark_tpu.hashdb import mix1, mix2
+
+
+def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
+          bucket_start=None, nb_local: int | None = None):
+    """Look up canonical k-mers in the (possibly sharded) table.
+
+    table:  uint32 [NB_local, 3*slots]
+    khi/klo: uint32 [...], canonical k-mer halves
+    bucket_start: starting global bucket index of this shard (traced
+        scalar or None for an unsharded table).
+    nb_local: number of bucket rows in `table` (static).
+
+    Returns int32 labels [...]: stored 1-based target label, 0 on miss.
+    """
+    S = slots
+    mask = jnp.uint32((1 << nb_bits) - 1)
+    shape = khi.shape
+    khi_f = khi.reshape(-1)
+    klo_f = klo.reshape(-1)
+
+    if nb_local is None:
+        nb_local = table.shape[0]
+
+    b1 = mix1(khi_f, klo_f) & mask
+    label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
+    for choice in range(num_choices):
+        b = b1 if choice == 0 else (mix2(khi_f, klo_f) & mask)
+        if bucket_start is not None:
+            bloc = b.astype(jnp.int32) - bucket_start
+            in_range = (bloc >= 0) & (bloc < nb_local)
+            bloc = jnp.clip(bloc, 0, nb_local - 1)
+        else:
+            bloc = b.astype(jnp.int32)
+            in_range = None
+
+        rows = jnp.take(table, bloc, axis=0)          # [NK, 3S]
+        m = (rows[:, :S] == klo_f[:, None]) & (rows[:, S:2 * S] == khi_f[:, None])
+        if in_range is not None:
+            m &= in_range[:, None]
+        if choice == 1:
+            # guard against h1 == h2 double-matching the same row
+            m &= (b != b1)[:, None]
+        label += jnp.sum(jnp.where(m, rows[:, 2 * S:].astype(jnp.int32), 0), axis=1)
+
+    return label.reshape(shape)

@@ -1,0 +1,79 @@
+"""Per-read scoring: hit totals, best / second-best targets.
+
+Replaces the reference's shared-memory atomic scoreboard + warp-ballot
+stream compaction (queryKernel epilogue, src/CuClarkDB.cu:1158-1242)
+and the sparse-row scan of resultKernel (src/CuClarkDB.cu:1421-1471)
+with a dense, branch-free reduction that maps onto the VPU:
+
+For every window position p of a read, count[p] = number of positions
+with the same (nonzero) label.  The best target is then the max over p
+of the packed key (count << 16) | (65535 - label), which reproduces the
+reference's tie-breaking exactly: resultKernel scans targets in
+ascending index order with strict '>', so ties keep the smaller target
+index — our packed key prefers larger count, then smaller label.
+
+Cost is O(P^2) compares per read (P = windows per read); for short
+reads (P ~ 100-300) this is a few thousand VPU ops per read and fuses
+into the probe pipeline.  Long reads are chunked by the caller.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Final result row layout, identical to the reference's
+# [sumN, indexBest, best, index_sBest, s_best] (src/CuClarkDB.cu:1460-1464).
+RESULT_COLS = 5
+_LBL_MAX = 65535
+
+
+def score_labels(labels):
+    """labels: int32 [R, P], 1-based target label per window, 0 = miss.
+
+    Returns int32 [R, 5]: [total, index_best, best, index_2nd, second].
+    """
+    R, P = labels.shape
+    hit = labels > 0
+
+    # count[r, p] = #positions of read r with the same label as p.
+    # (Misses count other misses, but their scores are masked out.)
+    eqm = labels[:, :, None] == labels[:, None, :]          # [R, P, P]
+    count = jnp.sum(
+        (eqm & hit[:, None, :]).astype(jnp.int32), axis=-1
+    )                                                       # [R, P]
+
+    packed = (count << 16) | (_LBL_MAX - labels)
+    score = jnp.where(hit, packed, -1)
+
+    best_packed = jnp.max(score, axis=-1)                   # [R]
+    has_best = best_packed >= 0
+    best = jnp.where(has_best, best_packed >> 16, 0)
+    index_best = jnp.where(has_best, _LBL_MAX - (best_packed & _LBL_MAX), 0)
+
+    second_mask = hit & (labels != index_best[:, None])
+    second_packed = jnp.max(jnp.where(second_mask, packed, -1), axis=-1)
+    has_second = second_packed >= 0
+    second = jnp.where(has_second, second_packed >> 16, 0)
+    index_second = jnp.where(has_second, _LBL_MAX - (second_packed & _LBL_MAX), 0)
+
+    total = jnp.sum(hit.astype(jnp.int32), axis=-1)
+    return jnp.stack([total, index_best, best, index_second, second], axis=-1)
+
+
+def gamma_confidence(total, best, second, length, k: int, paired: bool):
+    """CSV math, reference src/CuCLARK_hh.hh:2054-2056, 2127-2135.
+
+    gamma = total / (len - k + 1);  paired reads subtract NBN=1 from the
+    merged length first (the joining 'N', src/CuCLARK_hh.hh:2044).
+    confidence = best / (best + second), 0 when the sum is ~0.
+    Computed in float64 on the host for bit-identical %g output.
+    """
+    import numpy as np
+
+    norm = np.asarray(length, dtype=np.int64)
+    if paired:
+        norm = norm - 1  # NBN
+    gamma = np.asarray(total, dtype=np.float64) / (norm.astype(np.float64) - k + 1.0)
+    s = np.asarray(best, dtype=np.float64) + np.asarray(second, dtype=np.float64)
+    conf = np.where(s < 0.001, 0.0, np.asarray(best, dtype=np.float64) / np.where(s == 0, 1.0, s))
+    return norm, gamma, conf

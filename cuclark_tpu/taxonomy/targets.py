@@ -1,0 +1,78 @@
+"""set-targets workflow: reference dirs -> targets.txt.
+
+Rebuilds the shell workflow set_targets.sh + make_metadata.sh
+(set_targets.sh:88-126, make_metadata.sh:91-123): scan reference
+genome directories, resolve each file's accession to a taxid, walk the
+taxonomy to the requested rank, and write <db_dir>/targets.txt plus a
+.settings file recording the choice (classify_metagenome.sh:84-87
+prepends these settings to the classify call).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+from cuclark_tpu.taxonomy import ncbi
+
+SEQ_SUFFIXES = {".fa", ".fna", ".fasta", ".ffn", ".fq", ".fastq"}
+
+
+def find_sequence_files(ref_dirs):
+    out = []
+    for d in ref_dirs:
+        for p in sorted(Path(d).rglob("*")):
+            s = p.name.lower()
+            base = s[:-3] if s.endswith(".gz") else s
+            if any(base.endswith(suf) for suf in SEQ_SUFFIXES):
+                out.append(p)
+    return out
+
+
+def set_targets(args) -> int:
+    db_dir = Path(args.db_dir)
+    db_dir.mkdir(parents=True, exist_ok=True)
+    files = find_sequence_files(args.ref_dirs)
+    if not files:
+        print("no sequence files found", file=sys.stderr)
+        return 1
+
+    if args.rank == "custom" or not args.taxonomy_dir:
+        # custom mode: label = file stem (reference custom DB workflow,
+        # README.md custom targets)
+        lines = [f"{p} {p.stem}" for p in files]
+        excluded = []
+    else:
+        tax = Path(args.taxonomy_dir)
+        parent, rank = ncbi.load_nodes(tax / "nodes.dmp")
+        names_p = tax / "names.dmp"
+        names = ncbi.load_names(names_p) if names_p.exists() else None
+        a2t_files = sorted(tax.glob("*accession2taxid*"))
+        accs = {}
+        for p in files:
+            acc = ncbi.first_accession(p)
+            if acc:
+                accs[str(p)] = acc
+        acc2tid = ncbi.accession_to_taxid(
+            set(accs.values()), a2t_files,
+            merged=ncbi.load_merged(tax / "merged.dmp") if (tax / "merged.dmp").exists() else None,
+        )
+        file_taxids = [
+            (fp, acc2tid[acc]) for fp, acc in accs.items() if acc in acc2tid
+        ]
+        file_ranks = ncbi.files_to_tax_nodes(file_taxids, parent, rank)
+        lines, excluded = ncbi.targets_def_lines(file_ranks, args.rank, names)
+        excluded += [str(p) for p in files if str(p) not in dict(file_taxids)]
+
+    (db_dir / "targets.txt").write_text("\n".join(lines) + "\n")
+    if excluded:
+        (db_dir / "files_excluded.txt").write_text("\n".join(excluded) + "\n")
+    (db_dir / ".settings").write_text(
+        json.dumps({"rank": args.rank, "num_targets_files": len(lines)}) + "\n"
+    )
+    print(
+        f"targets.txt: {len(lines)} files ({len(excluded)} excluded) -> {db_dir}",
+        file=sys.stderr,
+    )
+    return 0

@@ -1,0 +1,141 @@
+"""End-to-end: mini DB from synthetic genomes, classify reads, compare
+results and CSV lines against the pure-Python oracle."""
+
+import random
+
+import numpy as np
+import pytest
+
+from cuclark_tpu.config import ClassifyConfig, DBConfig
+from cuclark_tpu.db_build.builder import build_db, discriminate, extract_canonical_np
+from cuclark_tpu.io.csv_out import format_row
+from cuclark_tpu.pipeline import Classifier
+from tests import oracle
+
+K = 27
+
+
+def make_genomes(seed=42, n_targets=3, glen=3000):
+    rng = random.Random(seed)
+    return {
+        t + 1: ["".join(rng.choice("ACGT") for _ in range(glen))]
+        for t in range(n_targets)
+    }
+
+
+def sample_reads(genomes, n_reads=60, read_len=120, seed=1, with_junk=True):
+    rng = random.Random(seed)
+    reads = []
+    for i in range(n_reads):
+        t = rng.randrange(1, len(genomes) + 1)
+        g = genomes[t][0]
+        pos = rng.randrange(0, len(g) - read_len)
+        seq = list(g[pos: pos + read_len])
+        # mutations and N runs
+        for _ in range(rng.randrange(0, 6)):
+            seq[rng.randrange(read_len)] = rng.choice("ACGT")
+        if with_junk and rng.random() < 0.3:
+            p = rng.randrange(read_len)
+            for q in range(p, min(read_len, p + rng.randrange(1, 5))):
+                seq[q] = "N"
+        reads.append((f"read_{i}_t{t}", "".join(seq)))
+    # some fully random reads (likely NA)
+    for i in range(10):
+        reads.append(
+            (f"junk_{i}", "".join(rng.choice("ACGT") for _ in range(read_len)))
+        )
+    return reads
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    genomes = make_genomes()
+    file_labels = []
+    for t, seqs in genomes.items():
+        p = tmp / f"g{t}.fa"
+        p.write_text(f">genome{t}\n" + "\n".join(seqs) + "\n")
+        file_labels.append((str(p), f"TAX{t}"))
+    cfg = DBConfig(k=K, slots=4, target_load=0.7)
+    db = build_db(file_labels, cfg)
+    odb = oracle.build_db(genomes, K)
+    return genomes, db, odb
+
+
+def test_db_matches_oracle(setup):
+    genomes, db, odb = setup
+    assert db.num_kmers == len(odb)
+    assert db.target_names == ["NA", "TAX1", "TAX2", "TAX3"]
+
+
+def test_extract_matches_oracle_on_genome(setup):
+    genomes, db, odb = setup
+    g = genomes[1][0][:500]
+    got = extract_canonical_np(g.encode(), K)
+    want = np.array(oracle.read_kmers(g, K), dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_classification_matches_oracle(setup):
+    genomes, db, odb = setup
+    reads = sample_reads(genomes)
+    clf = Classifier(db, ClassifyConfig(batch_reads=32))
+    rows = list(clf.classify_records((n, s.encode()) for n, s in reads))
+    assert len(rows) == len(reads)
+    for (name, seq), row in zip(reads, rows):
+        want = oracle.classify_read(seq, odb, K, db.num_targets)
+        got = (row["total"], row["index_best"], row["best"],
+               row["index_second"], row["second"])
+        assert got == want, f"{name}: got {got} want {want}"
+
+
+def test_csv_line_parity(setup):
+    genomes, db, odb = setup
+    reads = sample_reads(genomes, n_reads=25, seed=5)
+    clf = Classifier(db, ClassifyConfig(batch_reads=64))
+    rows = list(clf.classify_records((n, s.encode()) for n, s in reads))
+    for (name, seq), row in zip(reads, rows):
+        t, ib, b, is2, s2 = oracle.classify_read(seq, odb, K, db.num_targets)
+        want = oracle.result_line(
+            name, len(seq), K, t, ib, b, is2, s2, db.target_names
+        )
+        got = format_row(row, db.target_names).rstrip("\n")
+        assert got == want
+
+
+def test_extended_counts_match_oracle(setup):
+    genomes, db, odb = setup
+    reads = sample_reads(genomes, n_reads=15, seed=9)
+    clf = Classifier(db, ClassifyConfig(batch_reads=16, extended=True))
+    rows = list(clf.classify_records((n, s.encode()) for n, s in reads))
+    for (name, seq), row in zip(reads, rows):
+        counts = {}
+        for km in oracle.read_kmers(seq, K):
+            lb = odb.get(km)
+            if lb:
+                counts[lb] = counts.get(lb, 0) + 1
+        assert row["target_counts"] == counts
+
+
+def test_paired_join_semantics(setup):
+    genomes, db, odb = setup
+    g = genomes[2][0]
+    r1, r2 = g[100:220], g[400:520]
+    merged = r1 + "N" + r2
+    clf = Classifier(db, ClassifyConfig(batch_reads=4))
+    row = next(clf.classify_records([("p", merged.encode())], paired=True))
+    want = oracle.classify_read(merged, odb, K, db.num_targets)
+    assert (row["total"], row["index_best"], row["best"]) == want[:3]
+    # paired length normalization subtracts the joining N
+    assert row["length"] == len(r1) + len(r2)
+
+
+def test_min_count_filter():
+    # a k-mer occurring twice in one target survives min_count=2
+    kmers = np.array([5, 5, 9, 12, 12, 12], dtype=np.uint64)
+    labels = np.array([1, 1, 2, 1, 2, 1], dtype=np.uint32)
+    uk, ul, uc = discriminate(kmers, labels, min_count=2)
+    # kmer 12 spans two targets -> dropped; 9 count=1 -> dropped; 5 kept
+    np.testing.assert_array_equal(uk, [5])
+    np.testing.assert_array_equal(ul, [1])
+    np.testing.assert_array_equal(uc, [2])

@@ -1,0 +1,77 @@
+"""Hash table build/probe roundtrip tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuclark_tpu import u64
+from cuclark_tpu.config import DBConfig
+from cuclark_tpu.hashdb import KmerDB, build_table
+from cuclark_tpu.probe import probe
+
+
+def _rand_db(n, k=31, seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    km = np.unique(rng.integers(0, 1 << (2 * k - 2), size=n * 2, dtype=np.uint64))[:n]
+    labels = rng.integers(1, 50, size=len(km)).astype(np.uint32)
+    names = ["NA"] + [f"T{i}" for i in range(1, 50)]
+    cfg = DBConfig(k=k, **kw)
+    return build_table(km, labels, names, cfg), km, labels
+
+
+@pytest.mark.parametrize("num_choices,target_load", [(2, 0.75), (1, 0.3)])
+def test_roundtrip_all_present(num_choices, target_load):
+    db, km, labels = _rand_db(
+        5000, num_choices=num_choices, target_load=target_load, slots=8
+    )
+    hi, lo = u64.from_np64(km)
+    got = probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices, hi, lo)
+    np.testing.assert_array_equal(np.asarray(got), labels.astype(np.int32))
+
+
+def test_misses_return_zero():
+    db, km, labels = _rand_db(2000)
+    rng = np.random.default_rng(99)
+    queries = rng.integers(0, 1 << 60, size=5000, dtype=np.uint64)
+    present = np.isin(queries, km)
+    hi, lo = u64.from_np64(queries[~present])
+    got = np.asarray(
+        probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices, hi, lo)
+    )
+    assert (got == 0).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    db, km, labels = _rand_db(1000)
+    p = tmp_path / "db.npz"
+    db.save(p)
+    db2 = KmerDB.load(p)
+    assert db2.k == db.k and db2.nb_bits == db.nb_bits
+    np.testing.assert_array_equal(db2.table, db.table)
+    assert db2.target_names == db.target_names
+    assert db2.checksum() == db.checksum()
+
+
+def test_sample_factor_drops_buckets(tmp_path):
+    db, km, labels = _rand_db(4000)
+    p = tmp_path / "db.npz"
+    db.save(p)
+    db2 = KmerDB.load(p, sample_factor=2)
+    hi, lo = u64.from_np64(km)
+    got = np.asarray(
+        probe(jnp.asarray(db2.table), db2.nb_bits, db2.slots, db2.num_choices, hi, lo)
+    )
+    frac = (got > 0).mean()
+    assert 0.3 < frac < 0.7  # roughly half the buckets survive
+    # surviving hits still return the right label
+    mask = got > 0
+    np.testing.assert_array_equal(got[mask], labels[mask].astype(np.int32))
+
+
+def test_high_load_two_choice():
+    # two-choice at 0.9 load must still build and verify
+    db, km, labels = _rand_db(20000, target_load=0.9, slots=4)
+    hi, lo = u64.from_np64(km)
+    got = probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices, hi, lo)
+    np.testing.assert_array_equal(np.asarray(got), labels.astype(np.int32))
