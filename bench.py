@@ -41,7 +41,9 @@ def main():
     read_len = int(os.environ.get("CUCLARK_BENCH_READLEN", 150))
     n_targets = int(os.environ.get("CUCLARK_BENCH_TARGETS", 1024))
     reps = int(os.environ.get("CUCLARK_BENCH_REPS", 5))
+    chunk = int(os.environ.get("CUCLARK_BENCH_CHUNK", 16384))
     k = 31
+    n_reads = (n_reads // chunk) * chunk or chunk
 
     rng = np.random.default_rng(0)
 
@@ -52,7 +54,7 @@ def main():
     km = np.unique(km)[:n_kmers]
     labels = rng.integers(1, n_targets + 1, size=len(km)).astype(np.uint32)
     names = ["NA"] + [f"T{i}" for i in range(1, n_targets + 1)]
-    cfg = DBConfig(k=k, slots=8, target_load=0.75)
+    cfg = DBConfig(k=k, slots=4, target_load=0.8)
     t0 = time.time()
     db = build_table(km, labels, names, cfg)
     build_s = time.time() - t0
@@ -63,23 +65,27 @@ def main():
     codes = genome[starts[:, None] + np.arange(read_len)[None, :]]
 
     table = jnp.asarray(db.table)
-    dev_codes = jnp.asarray(codes)
+    dev_chunks = [jnp.asarray(codes[i: i + chunk])
+                  for i in range(0, n_reads, chunk)]
 
     def run():
-        results, _ = classify_step(
-            table, dev_codes, k=db.k, nb_bits=db.nb_bits,
-            slots=db.slots, num_choices=db.num_choices,
-        )
-        return results
+        # scalar checksum forces real execution of every chunk; a bare
+        # block_until_ready can return early through the remote relay
+        acc = jnp.int32(0)
+        for c in dev_chunks:
+            results, _ = classify_step(
+                table, c, k=db.k, nb_bits=db.nb_bits,
+                slots=db.slots, num_choices=db.num_choices,
+            )
+            acc = acc + results[:, 0].sum() % 97
+        return float(np.asarray(acc))
 
-    # warmup/compile
-    r = run()
-    r.block_until_ready()
+    run()  # warmup/compile
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        run().block_until_ready()
+        run()
         times.append(time.time() - t0)
     dt = min(times)
     rps = n_reads / dt

@@ -5,20 +5,19 @@ stream compaction (queryKernel epilogue, src/CuClarkDB.cu:1158-1242)
 and the sparse-row scan of resultKernel (src/CuClarkDB.cu:1421-1471)
 with a dense, branch-free reduction that maps onto the VPU:
 
-For every window position p of a read, count[p] = number of positions
-with the same (nonzero) label.  The best target is then the max over p
-of the packed key (count << 16) | (65535 - label), which reproduces the
-reference's tie-breaking exactly: resultKernel scans targets in
-ascending index order with strict '>', so ties keep the smaller target
-index — our packed key prefers larger count, then smaller label.
-
-Cost is O(P^2) compares per read (P = windows per read); for short
-reads (P ~ 100-300) this is a few thousand VPU ops per read and fuses
-into the probe pipeline.  Long reads are chunked by the caller.
+Per read, the window labels are sorted (an independent bitonic sort per
+row — ideal VPU shape), runs of equal labels are counted at their run
+ends with a cummax trick, and the best target is the max over run ends
+of the packed key (count << 16) | (65535 - label).  The packing
+reproduces the reference's tie-breaking exactly: resultKernel scans
+targets in ascending index order with strict '>', so ties keep the
+smaller target index — our packed key prefers larger count, then
+smaller label.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Final result row layout, identical to the reference's
@@ -31,27 +30,39 @@ def score_labels(labels):
     """labels: int32 [R, P], 1-based target label per window, 0 = miss.
 
     Returns int32 [R, 5]: [total, index_best, best, index_2nd, second].
+
+    Algorithm: per-row sort, then run-length counting at run ends —
+    O(P log P) compare-exchanges on the VPU instead of the naive O(P^2)
+    all-pairs compare, and no [R, P, P] intermediate.
     """
     R, P = labels.shape
+    if P > 32767:
+        raise ValueError("read too long for packed scoring (P > 32767)")
     hit = labels > 0
 
-    # count[r, p] = #positions of read r with the same label as p.
-    # (Misses count other misses, but their scores are masked out.)
-    eqm = labels[:, :, None] == labels[:, None, :]          # [R, P, P]
-    count = jnp.sum(
-        (eqm & hit[:, None, :]).astype(jnp.int32), axis=-1
-    )                                                       # [R, P]
+    s = jnp.sort(labels, axis=-1)                           # [R, P] ascending
+    idx = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
 
-    packed = (count << 16) | (_LBL_MAX - labels)
-    score = jnp.where(hit, packed, -1)
+    first = jnp.concatenate(
+        [jnp.ones((R, 1), bool), s[:, 1:] != s[:, :-1]], axis=-1
+    )
+    last = jnp.concatenate(
+        [s[:, 1:] != s[:, :-1], jnp.ones((R, 1), bool)], axis=-1
+    )
+    # start index of each element's run, propagated right via cummax
+    run_start = jax.lax.cummax(jnp.where(first, idx, -1), axis=1)
+    count = idx - run_start + 1                             # valid at run ends
 
-    best_packed = jnp.max(score, axis=-1)                   # [R]
+    packed = (count << 16) | (_LBL_MAX - s)
+    cand = jnp.where(last & (s > 0), packed, -1)
+
+    best_packed = jnp.max(cand, axis=-1)                    # [R]
     has_best = best_packed >= 0
     best = jnp.where(has_best, best_packed >> 16, 0)
     index_best = jnp.where(has_best, _LBL_MAX - (best_packed & _LBL_MAX), 0)
 
-    second_mask = hit & (labels != index_best[:, None])
-    second_packed = jnp.max(jnp.where(second_mask, packed, -1), axis=-1)
+    cand2 = jnp.where(s != index_best[:, None], cand, -1)
+    second_packed = jnp.max(cand2, axis=-1)
     has_second = second_packed >= 0
     second = jnp.where(has_second, second_packed >> 16, 0)
     index_second = jnp.where(has_second, _LBL_MAX - (second_packed & _LBL_MAX), 0)
