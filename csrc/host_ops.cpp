@@ -1,0 +1,173 @@
+// Native host-side hot loops for cuclark_tpu.
+//
+// TPU-framework equivalents of the reference's native host components:
+//  - record boundary scanning  (src/CuCLARK_hh.hh:1335-1551, OpenMP scanner)
+//  - 2-bit read packing        (src/CuCLARK_hh.hh:1608-1763, container packer)
+//  - rolling canonical k-mer extraction for DB build
+//    (src/CuCLARK_hh.hh:1149-1163 rolling walk + Jellyfish revcomp,
+//     src/kmersConversion.cc:39-47)
+//
+// Exposed as a plain C ABI consumed through ctypes (no pybind11 in this
+// environment).  Single pass over bytes, no large temporaries.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Base code table: A=3 C=2 G=1 T=0 (reference getKmers encoding,
+// src/kmersConversion.cc:49-68); 4 = invalid.
+static uint8_t LUT[256];
+static bool lut_init = false;
+
+static void init_lut() {
+    if (lut_init) return;
+    memset(LUT, 4, sizeof(LUT));
+    LUT[(int)'A'] = 3; LUT[(int)'a'] = 3;
+    LUT[(int)'C'] = 2; LUT[(int)'c'] = 2;
+    LUT[(int)'G'] = 1; LUT[(int)'g'] = 1;
+    LUT[(int)'T'] = 0; LUT[(int)'t'] = 0;
+    lut_init = true;
+}
+
+// Scan a FASTQ buffer: fill per-record offsets.  Returns record count
+// (capped at max_rec).  Name = token after '@' up to space/tab/EOL.
+int64_t scan_fastq(const uint8_t* buf, int64_t n,
+                   int64_t* name_s, int64_t* name_e,
+                   int64_t* seq_s, int64_t* seq_e, int64_t max_rec) {
+    int64_t i = 0, r = 0;
+    while (i < n && r < max_rec) {
+        if (buf[i] != '@') break;
+        int64_t hs = ++i;
+        while (i < n && buf[i] != '\n' && buf[i] != ' ' && buf[i] != '\t') i++;
+        int64_t he = i;
+        while (i < n && buf[i] != '\n') i++;
+        i++;
+        int64_t ss = i;
+        while (i < n && buf[i] != '\n') i++;
+        int64_t se = i;
+        i++;
+        while (i < n && buf[i] != '\n') i++;  // '+' line
+        i++;
+        while (i < n && buf[i] != '\n') i++;  // quality line
+        i++;
+        name_s[r] = hs; name_e[r] = he; seq_s[r] = ss; seq_e[r] = se;
+        r++;
+    }
+    return r;
+}
+
+// Scan a FASTA buffer (multi-line sequences).  seq range may contain
+// newlines; the packer drops them.
+int64_t scan_fasta(const uint8_t* buf, int64_t n,
+                   int64_t* name_s, int64_t* name_e,
+                   int64_t* seq_s, int64_t* seq_e, int64_t max_rec) {
+    int64_t i = 0, r = 0;
+    while (i < n && buf[i] != '>') i++;
+    while (i < n && r < max_rec) {
+        int64_t hs = ++i;
+        while (i < n && buf[i] != '\n' && buf[i] != ' ' && buf[i] != '\t') i++;
+        int64_t he = i;
+        while (i < n && buf[i] != '\n') i++;
+        i++;
+        int64_t ss = i;
+        while (i < n && !(buf[i] == '>' && buf[i - 1] == '\n')) i++;
+        int64_t se = i;
+        // trim trailing newline(s)
+        while (se > ss && (buf[se - 1] == '\n' || buf[se - 1] == '\r')) se--;
+        name_s[r] = hs; name_e[r] = he; seq_s[r] = ss; seq_e[r] = se;
+        r++;
+    }
+    return r;
+}
+
+// Pack records into a [nrec, L] code matrix (pre-filled by caller or
+// filled here with 4).  Newlines/CR are skipped (multi-line FASTA);
+// lengths receive true sequence char counts (may exceed L).
+void pack_block(const uint8_t* buf,
+                const int64_t* seq_s, const int64_t* seq_e, int64_t nrec,
+                uint8_t* codes, int64_t L, int64_t* lengths) {
+    init_lut();
+    for (int64_t r = 0; r < nrec; r++) {
+        uint8_t* row = codes + r * L;
+        memset(row, 4, L);
+        int64_t w = 0, len = 0;
+        for (int64_t i = seq_s[r]; i < seq_e[r]; i++) {
+            uint8_t ch = buf[i];
+            if (ch == '\n' || ch == '\r') continue;
+            if (w < L) row[w++] = LUT[ch];
+            len++;
+        }
+        lengths[r] = len;
+    }
+}
+
+// Rolling canonical k-mer extraction over one sequence (bytes may
+// include newlines, skipped).  Non-ACGT resets the window (part
+// semantics).  Every overlapping k-mer — the full-mode build walk
+// (src/CuCLARK_hh.hh:1100-1163).  Returns number of k-mers written.
+int64_t extract_canonical(const uint8_t* seq, int64_t n, int32_t k,
+                          uint64_t* out) {
+    init_lut();
+    const int shift = 2 * (k - 1);
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t fwd = 0, rev = 0;
+    int64_t fill = 0, cnt = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t ch = seq[i];
+        if (ch == '\n' || ch == '\r') continue;
+        uint8_t c = LUT[ch];
+        if (c == 4) { fill = 0; fwd = 0; rev = 0; continue; }
+        fwd = ((fwd << 2) | c) & mask;
+        rev = (rev >> 2) | ((uint64_t)(3 - c) << shift);
+        if (++fill >= k)
+            out[cnt++] = fwd < rev ? fwd : rev;
+    }
+    return cnt;
+}
+
+// Light-mode build walk: NON-overlapping k-mer blocks, keeping every
+// gap-th block; the block counter persists across parts/sequences of a
+// genome file (src/CuCLARK_hh.hh:710-731: kmer resets after each emit;
+// `iter` is per-file).  iter_io is read and updated.  Returns count.
+int64_t extract_canonical_light(const uint8_t* seq, int64_t n, int32_t k,
+                                int32_t gap, int64_t* iter_io,
+                                uint64_t* out) {
+    init_lut();
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t fwd = 0;
+    int64_t fill = 0, cnt = 0, iter = *iter_io;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t ch = seq[i];
+        if (ch == '\n' || ch == '\r') continue;
+        uint8_t c = LUT[ch];
+        if (c == 4) { fill = 0; fwd = 0; continue; }
+        fwd = ((fwd << 2) | c) & mask;
+        if (++fill == k) {
+            if (iter % gap == 0) {
+                // canonicalize: Jellyfish revcomp (src/kmersConversion.cc:39-47)
+                uint64_t r = fwd;
+                r = ((r >> 2) & 0x3333333333333333ULL) | ((r & 0x3333333333333333ULL) << 2);
+                r = ((r >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((r & 0x0F0F0F0F0F0F0F0FULL) << 4);
+                r = ((r >> 8) & 0x00FF00FF00FF00FFULL) | ((r & 0x00FF00FF00FF00FFULL) << 8);
+                r = ((r >> 16) & 0x0000FFFF0000FFFFULL) | ((r & 0x0000FFFF0000FFFFULL) << 16);
+                r = (r >> 32) | (r << 32);
+                r = (~r) >> (64 - 2 * k);
+                out[cnt++] = fwd < r ? fwd : r;
+            }
+            iter++;
+            fill = 0;
+            fwd = 0;
+        }
+    }
+    *iter_io = iter;
+    return cnt;
+}
+
+// Count upper bound of k-mers for buffer allocation.
+int64_t kmer_bound(int64_t n, int32_t k, int32_t gap) {
+    if (n < k) return 0;
+    return (n - k + 1) / gap + 1;
+}
+
+}  // extern "C"

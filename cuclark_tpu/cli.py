@@ -103,20 +103,19 @@ def cmd_classify(args) -> int:
                          sample_factor=args.sfactor)
     clf = Classifier(db, cfg)
 
-    jobs = []
+    jobs = []  # (path, paired_path, out_path)
     if args.paired:
-        jobs.append((fasta.read_paired_records(args.paired[0], args.paired[1]),
-                     args.results, True))
+        jobs.append((args.paired[0], args.paired[1], args.results))
     else:
         pairs = fasta.parse_file_list(args.objects)
         if pairs is None:
-            jobs.append((fasta.read_records(args.objects), args.results, False))
+            jobs.append((args.objects, None, args.results))
         else:
             # multi-file mode (src/CuCLARK_hh.hh:382-506)
             for obj, res in pairs:
-                jobs.append((fasta.read_records(obj), res, False))
+                jobs.append((obj, None, res))
 
-    for records, out_path, paired in jobs:
+    for path, paired_path, out_path in jobs:
         t0 = time.time()
         n = 0
 
@@ -126,7 +125,7 @@ def cmd_classify(args) -> int:
                 n += 1
                 yield r
 
-        rows = clf.classify_records(_counted(records), paired=paired)
+        rows = _counted(clf.classify_file(path, paired_path))
         write_results(out_path, rows, db.target_names, extended=args.extended)
         dt = time.time() - t0
         # reference prints objects/min (src/CuCLARK_hh.hh:1940-1943)

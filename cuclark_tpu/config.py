@@ -29,8 +29,12 @@ class DBConfig:
     """Database build parameters.
 
     k:             k-mer length, 2..32.
-    gap:           build-time k-mer sampling stride (1 = every k-mer;
-                   light mode uses 4; reference src/CuCLARK_hh.hh:726).
+    gap:           build-time sampling. 1 = full mode, every overlapping
+                   k-mer (src/CuCLARK_hh.hh:1100-1163). >1 = light mode:
+                   the genome walk emits NON-overlapping k-mer blocks and
+                   keeps every gap-th (reference light build resets the
+                   rolling k-mer after each emit, src/CuCLARK_hh.hh:
+                   710-731; cuCLARK-l uses gap=4).
     min_count:     minimum occurrence count for a target-specific k-mer
                    to be kept (reference -t flag, src/main.cc:117-123).
     slots:         hash bucket width (entries per bucket row).

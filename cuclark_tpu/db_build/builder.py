@@ -25,10 +25,10 @@ from cuclark_tpu.hashdb import KmerDB, build_table
 from cuclark_tpu.io import fasta
 
 
-def extract_canonical_np(seq: bytes | np.ndarray, k: int, gap: int = 1) -> np.ndarray:
-    """All canonical k-mers of one sequence (uint64), honoring part
-    semantics (no k-mer spans a non-ACGT char) and gap striding
-    (light-mode every-gap-th k-mer, src/CuCLARK_hh.hh:726)."""
+def extract_canonical_np(seq: bytes | np.ndarray, k: int) -> np.ndarray:
+    """All overlapping canonical k-mers of one sequence (uint64),
+    honoring part semantics (no k-mer spans a non-ACGT char) — the full
+    mode build walk (src/CuCLARK_hh.hh:1100-1163)."""
     codes = codec.encode_ascii(seq).astype(np.int64)
     n = len(codes)
     if n < k:
@@ -44,9 +44,39 @@ def extract_canonical_np(seq: bytes | np.ndarray, k: int, gap: int = 1) -> np.nd
     for j in range(k):
         km = (km << np.uint64(2)) | vals[j: j + n - k + 1]
     km = km[wvalid]
-    if gap > 1:
-        km = km[::gap]
     return codec.canonical_np(km, k)
+
+
+def extract_canonical_light_np(seq: bytes | np.ndarray, k: int, gap: int,
+                               iter0: int = 0):
+    """Light-mode build walk: NON-overlapping k-mer blocks (the rolling
+    k-mer resets after each complete k-mer, src/CuCLARK_hh.hh:725-731),
+    keeping every gap-th block.  The block counter `iter` persists
+    across parts and sequences of one genome file (it is only reset per
+    file in the reference).  Returns (kmers, iter)."""
+    codes = codec.encode_ascii(seq).astype(np.int64)
+    valid = codes < codec.INVALID
+    out = []
+    it = iter0
+    # part boundaries: runs of valid codes
+    n = len(codes)
+    i = 0
+    starts = np.flatnonzero(np.diff(np.r_[0, valid.view(np.int8)]) == 1)
+    ends = np.flatnonzero(np.diff(np.r_[valid.view(np.int8), 0]) == -1) + 1
+    for s, e in zip(starts, ends):
+        nblocks = (e - s) // k
+        if nblocks == 0:
+            continue
+        offs = s + np.arange(nblocks) * k
+        km = np.zeros(nblocks, dtype=np.uint64)
+        for j in range(k):
+            km = (km << np.uint64(2)) | codes[offs + j].astype(np.uint64)
+        sel = ((it + np.arange(nblocks)) % gap) == 0
+        out.append(km[sel])
+        it += nblocks
+    if not out:
+        return np.empty(0, np.uint64), it
+    return codec.canonical_np(np.concatenate(out), k), it
 
 
 def parse_targets_file(path) -> list[tuple[str, str]]:
@@ -74,17 +104,31 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None):
 
     target_names[0] == 'NA'; label ids are first-seen order, 1-based
     (matching the reference's first-seen target registration)."""
+    from cuclark_tpu import native
+
     names = ["NA"]
     ids: dict[str, int] = {}
     km_chunks = []
     lb_chunks = []
+    use_native = native.available()
     for fp, label in file_labels:
         if label not in ids:
             ids[label] = len(names)
             names.append(label)
         lid = ids[label]
+        it = 0  # light-mode block counter, reset per genome file
         for _name, seq in fasta.read_records(fp):
-            km = extract_canonical_np(seq, cfg.k, cfg.gap)
+            if cfg.gap > 1:
+                if use_native:
+                    km, it = native.extract_canonical_light(seq, cfg.k,
+                                                            cfg.gap, it)
+                else:
+                    km, it = extract_canonical_light_np(seq, cfg.k,
+                                                        cfg.gap, it)
+            elif use_native:
+                km = native.extract_canonical(seq, cfg.k)
+            else:
+                km = extract_canonical_np(seq, cfg.k)
             if len(km):
                 km_chunks.append(km)
                 lb_chunks.append(np.full(len(km), lid, dtype=np.uint32))

@@ -1,0 +1,163 @@
+"""Vectorized FASTA/FASTQ scanning and read packing.
+
+The TPU-framework equivalent of the reference's OpenMP record scanner +
+container packer (src/CuCLARK_hh.hh:1335-1551 boundary scan;
+:1608-1763 per-batch 2-bit packing).  Instead of per-byte character
+loops across host threads, whole-buffer numpy passes find newlines and
+record boundaries, and one fancy-index gather builds the padded
+[reads, max_len] code matrix the device step consumes.
+
+A native C++ scanner (csrc/) can replace the numpy passes; measure
+first — at ~GB/s these passes keep up with one chip's classify rate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cuclark_tpu import codec
+
+
+def _newlines(buf: np.ndarray) -> np.ndarray:
+    return np.flatnonzero(buf == ord("\n"))
+
+
+def scan_fastq(buf: np.ndarray):
+    """buf: uint8 array of a whole FASTQ file.
+
+    Returns (name_starts, name_ends, seq_starts, seq_ends) int64 arrays.
+    Record = 4 lines; name = token after '@' up to first space/tab.
+    """
+    nl = _newlines(buf)
+    if len(buf) and buf[-1] != ord("\n"):
+        nl = np.r_[nl, len(buf)]
+    n_rec = len(nl) // 4
+    if n_rec == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    line_starts = np.r_[0, nl[:-1] + 1]
+    hdr_s = line_starts[0::4][:n_rec] + 1          # skip '@'
+    hdr_e = nl[0::4][:n_rec]
+    seq_s = line_starts[1::4][:n_rec]
+    seq_e = nl[1::4][:n_rec]
+    name_e = _token_ends(buf, hdr_s, hdr_e)
+    return hdr_s, name_e, seq_s, seq_e
+
+
+def scan_fasta(buf: np.ndarray):
+    """buf: uint8 array of a whole FASTA file (multi-line sequences OK).
+
+    Returns (name_starts, name_ends, seq_starts, seq_ends) where the
+    sequence range may contain newlines (the packer drops them, exactly
+    like the reference packer skips '\\n', src/CuCLARK_hh.hh:1674-1678).
+    """
+    starts = np.flatnonzero(buf == ord(">"))
+    # keep only '>' at line starts
+    at_bol = (starts == 0) | (buf[np.maximum(starts - 1, 0)] == ord("\n"))
+    starts = starts[at_bol]
+    if len(starts) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    nl = _newlines(buf)
+    hdr_s = starts + 1
+    hdr_e = nl[np.searchsorted(nl, starts)]
+    seq_s = hdr_e + 1
+    seq_e = np.r_[starts[1:], len(buf)]
+    name_e = _token_ends(buf, hdr_s, hdr_e)
+    return hdr_s, name_e, seq_s, seq_e
+
+
+def _token_ends(buf, starts, ends):
+    """First space/tab position in [start, end), else end — the
+    reference's separator table (src/CuCLARK_hh.hh:300)."""
+    sep_pos = np.flatnonzero((buf == ord(" ")) | (buf == ord("\t")))
+    if len(sep_pos) == 0:
+        return np.asarray(ends).copy()
+    i0 = np.searchsorted(sep_pos, starts)
+    cand = sep_pos[np.minimum(i0, len(sep_pos) - 1)]
+    return np.where((i0 < len(sep_pos)) & (cand < ends), cand, ends)
+
+
+def pack_block(buf: np.ndarray, seq_s, seq_e, max_len: int,
+               n_rows: int | None = None):
+    """Encode+pad sequences into a codes matrix in one gather.
+
+    Returns (codes uint8 [R, max_len], lengths int64 [R]) where lengths
+    count sequence characters excluding newlines (reference readsLength
+    semantics, src/CuCLARK_hh.hh:1380-1390).  Newlines inside a
+    sequence range become INVALID codes, which the part semantics of
+    the k-mer extractor already treat as boundaries... except newlines
+    must NOT break parts; the packer therefore compacts them away.
+    """
+    R = n_rows if n_rows is not None else len(seq_s)
+    enc = codec.BASE_LUT[buf]
+    is_nl = (buf == ord("\n")) | (buf == ord("\r"))
+
+    seq_s = np.asarray(seq_s, np.int64)
+    seq_e = np.asarray(seq_e, np.int64)
+    raw_len = seq_e - seq_s
+
+    # per-record newline counts via prefix sums -> true lengths
+    nl_cs = np.r_[0, np.cumsum(is_nl)]
+    lengths = raw_len - (nl_cs[seq_e] - nl_cs[seq_s])
+
+    codes = np.full((R, max_len), codec.INVALID, dtype=np.uint8)
+    n = len(seq_s)
+    if n == 0:
+        return codes, np.zeros(R, np.int64)
+
+    if (raw_len == lengths).all():
+        # fast path: no embedded newlines (FASTQ, single-line FASTA)
+        L = min(max_len, int(raw_len.max(initial=0)))
+        pos = seq_s[:, None] + np.arange(L)[None, :]
+        mask = np.arange(L)[None, :] < raw_len[:, None]
+        codes[:n, :L] = np.where(mask, enc[np.minimum(pos, len(buf) - 1)],
+                                 codec.INVALID)
+    else:
+        # compact newlines away with a global compress, then gather
+        keep = ~is_nl
+        comp = enc[keep]
+        # map original offset -> compacted offset
+        keep_cs = np.r_[0, np.cumsum(keep)]
+        cs = keep_cs[seq_s]
+        L = min(max_len, int(lengths.max(initial=0)))
+        pos = cs[:, None] + np.arange(L)[None, :]
+        mask = np.arange(L)[None, :] < lengths[:, None]
+        codes[:n, :L] = np.where(mask, comp[np.minimum(pos, len(comp) - 1)],
+                                 codec.INVALID)
+
+    full_lengths = np.zeros(R, np.int64)
+    full_lengths[:n] = lengths
+    return codes, full_lengths
+
+
+def names_of(buf: np.ndarray, name_s, name_e) -> list[str]:
+    b = buf.tobytes()
+    return [b[s:e].decode("ascii", "replace") for s, e in zip(name_s, name_e)]
+
+
+def scan_file(buf: np.ndarray):
+    """Dispatch on leading byte like the reference
+    (src/CuCLARK_hh.hh:1340, 1403).  Uses the native C++ scanner when
+    available (cuclark_tpu.native), these numpy passes otherwise."""
+    from cuclark_tpu import native
+
+    if len(buf) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    if native.available():
+        return native.scan(buf)
+    if buf[0] == ord(">"):
+        return scan_fasta(buf)
+    if buf[0] == ord("@"):
+        return scan_fastq(buf)
+    raise ValueError("Failed to recognize the format of the file.")
+
+
+def pack_block_dispatch(buf, seq_s, seq_e, max_len, n_rows=None):
+    """Native packer when available, numpy otherwise."""
+    from cuclark_tpu import native
+
+    if native.available():
+        return native.pack_block(buf, seq_s, seq_e, max_len, n_rows)
+    return pack_block(buf, seq_s, seq_e, max_len, n_rows)

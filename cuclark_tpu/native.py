@@ -1,0 +1,150 @@
+"""ctypes bindings to the native host module (csrc/host_ops.cpp).
+
+Compiled lazily with g++ on first use and cached next to the package;
+everything degrades gracefully to the numpy implementations when no
+compiler is available (`native.available()` -> False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent / "csrc" / "host_ops.cpp"
+_LIB = None
+_TRIED = False
+
+_I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_U64P = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+
+
+def _build() -> ctypes.CDLL | None:
+    if not _SRC.exists():
+        return None
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = Path(tempfile.gettempdir()) / f"cuclark_host_ops_{tag}.so"
+    if not cache.exists():
+        tmp = cache.with_suffix(".tmp.so")
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               str(_SRC), "-o", str(tmp)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return None
+        os.replace(tmp, cache)
+    lib = ctypes.CDLL(str(cache))
+
+    lib.scan_fastq.restype = ctypes.c_int64
+    lib.scan_fastq.argtypes = [_U8P, ctypes.c_int64, _I64P, _I64P, _I64P,
+                               _I64P, ctypes.c_int64]
+    lib.scan_fasta.restype = ctypes.c_int64
+    lib.scan_fasta.argtypes = lib.scan_fastq.argtypes
+    lib.pack_block.restype = None
+    lib.pack_block.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P,
+                               ctypes.c_int64, _I64P]
+    lib.extract_canonical.restype = ctypes.c_int64
+    lib.extract_canonical.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int32,
+                                      _U64P]
+    lib.extract_canonical_light.restype = ctypes.c_int64
+    lib.extract_canonical_light.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), _U64P]
+    lib.kmer_bound.restype = ctypes.c_int64
+    lib.kmer_bound.argtypes = [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    return lib
+
+
+def _lib() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        if os.environ.get("CUCLARK_NO_NATIVE"):
+            _LIB = None
+        else:
+            _LIB = _build()
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def scan(buf: np.ndarray):
+    """Scan FASTA/FASTQ bytes -> (name_s, name_e, seq_s, seq_e)."""
+    lib = _lib()
+    n = len(buf)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    # upper bound on record count
+    if buf[0] == ord("@"):
+        cap = n // 8 + 2
+        fn = lib.scan_fastq
+    elif buf[0] == ord(">"):
+        cap = n // 4 + 2
+        fn = lib.scan_fasta
+    else:
+        raise ValueError("Failed to recognize the format of the file.")
+    ns = np.empty(cap, np.int64)
+    ne = np.empty(cap, np.int64)
+    ss = np.empty(cap, np.int64)
+    se = np.empty(cap, np.int64)
+    buf = np.ascontiguousarray(buf)
+    r = fn(buf, n, ns, ne, ss, se, cap)
+    return ns[:r], ne[:r], ss[:r], se[:r]
+
+
+def pack_block(buf: np.ndarray, seq_s, seq_e, max_len: int,
+               n_rows: int | None = None):
+    lib = _lib()
+    nrec = len(seq_s)
+    R = n_rows if n_rows is not None else nrec
+    codes = np.empty((R, max_len), np.uint8)
+    if R > nrec:
+        codes[nrec:] = 4
+    lengths = np.zeros(R, np.int64)
+    if nrec:
+        lib.pack_block(
+            np.ascontiguousarray(buf),
+            np.ascontiguousarray(seq_s, np.int64),
+            np.ascontiguousarray(seq_e, np.int64),
+            nrec, codes, max_len, lengths,
+        )
+    return codes, lengths
+
+
+def _as_u8(seq) -> np.ndarray:
+    buf = (np.frombuffer(seq, np.uint8)
+           if isinstance(seq, (bytes, bytearray)) else np.asarray(seq, np.uint8))
+    return np.ascontiguousarray(buf)
+
+
+def extract_canonical(seq: bytes | np.ndarray, k: int) -> np.ndarray:
+    """Every overlapping canonical k-mer (full-mode build walk)."""
+    lib = _lib()
+    buf = _as_u8(seq)
+    cap = lib.kmer_bound(len(buf), k, 1)
+    out = np.empty(max(cap, 1), np.uint64)
+    cnt = lib.extract_canonical(buf, len(buf), k, out)
+    return out[:cnt]
+
+
+def extract_canonical_light(seq: bytes | np.ndarray, k: int, gap: int,
+                            iter0: int = 0):
+    """Non-overlapping light-mode walk; returns (kmers, iter)."""
+    lib = _lib()
+    buf = _as_u8(seq)
+    cap = lib.kmer_bound(len(buf), k, 1) // k + 2
+    out = np.empty(max(cap, 1), np.uint64)
+    it = ctypes.c_int64(iter0)
+    cnt = lib.extract_canonical_light(buf, len(buf), k, gap,
+                                      ctypes.byref(it), out)
+    return out[:cnt], it.value

@@ -60,17 +60,47 @@ def _part_kmers(part: str, k: int):
     return [canonical_value(kmer_value(part[i:i + k]), k) for i in range(len(part) - k + 1)]
 
 
-def build_db(target_seqs: dict[int, list[str]], k: int, gap: int = 1):
-    """target_seqs: {label(1-based): [genome seq, ...]}.
+def light_kmers(seq: str, k: int, gap: int, iter0: int = 0):
+    """Light-mode build walk (src/CuCLARK_hh.hh:710-731): NON-overlapping
+    k-mer blocks, keep every gap-th; `iter` persists across parts and
+    sequences of a genome file.  Returns (kmers, iter)."""
+    out = []
+    it = iter0
+    part: list[str] = []
 
-    Returns {canonical kmer: label} for multiplicity-1 (target-specific)
-    k-mers — the RemoveCommon semantics.
+    def flush(part):
+        nonlocal it
+        for j in range(0, len(part) - k + 1, k):
+            if it % gap == 0:
+                out.append(canonical_value(kmer_value(part[j:j + k]), k))
+            it += 1
+
+    buf = []
+    for ch in seq:
+        if ch in BASE:
+            buf.append(ch)
+        else:
+            flush("".join(buf))
+            buf = []
+    flush("".join(buf))
+    return out, it
+
+
+def build_db(target_seqs: dict[int, list[str]], k: int, gap: int = 1):
+    """target_seqs: {label(1-based): [genome file seqs...]} (each list
+    element = one file's whole sequence for iter purposes).
+
+    gap == 1: full mode, every overlapping k-mer; gap > 1: light mode,
+    every gap-th non-overlapping block.  Returns {canonical kmer: label}
+    for multiplicity-1 (target-specific) k-mers — RemoveCommon semantics.
     """
     seen: dict[int, int] = {}
     for label, seqs in target_seqs.items():
         for seq in seqs:
-            kms = read_kmers(seq, k)
-            kms = kms[::gap] if gap > 1 else kms
+            if gap > 1:
+                kms, _ = light_kmers(seq, k, gap, 0)
+            else:
+                kms = read_kmers(seq, k)
             for km in kms:
                 if km in seen and seen[km] != label:
                     seen[km] = -1  # common to several targets

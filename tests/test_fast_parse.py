@@ -1,0 +1,137 @@
+"""Vectorized scanner/packer tests vs the simple record reader."""
+
+import numpy as np
+import pytest
+
+from cuclark_tpu import codec
+from cuclark_tpu.io import fast_parse, fasta
+
+
+def _buf(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode(), dtype=np.uint8)
+
+
+def test_scan_fastq_matches_reader(tmp_path):
+    text = (
+        "@r1 some description\nACGTN\n+\nIIIII\n"
+        "@r2/2\tx\nGGGGA\n+xyz\nIIIII\n"
+        "@r3\nTTT\n+\nIII\n"
+    )
+    p = tmp_path / "a.fq"
+    p.write_text(text)
+    buf = _buf(text)
+    ns, ne, ss, se = fast_parse.scan_fastq(buf)
+    names = fast_parse.names_of(buf, ns, ne)
+    want = list(fasta.read_records(p))
+    assert names == [n for n, _ in want]
+    got_seqs = [buf.tobytes()[a:b] for a, b in zip(ss, se)]
+    assert got_seqs == [s for _, s in want]
+
+
+def test_scan_fasta_multiline_matches_reader(tmp_path):
+    text = ">s1 desc\nACGT\nTTGG\nA\n>s2\nNNNACGT\n>s3 x\nG\n"
+    p = tmp_path / "a.fa"
+    p.write_text(text)
+    buf = _buf(text)
+    ns, ne, ss, se = fast_parse.scan_fasta(buf)
+    names = fast_parse.names_of(buf, ns, ne)
+    want = list(fasta.read_records(p))
+    assert names == [n for n, _ in want]
+    codes, lengths = fast_parse.pack_block(buf, ss, se, 32)
+    for i, (_, seq) in enumerate(want):
+        assert lengths[i] == len(seq)
+        expect = codec.encode_ascii(seq)
+        np.testing.assert_array_equal(codes[i, : len(seq)], expect)
+        assert (codes[i, len(seq):] == codec.INVALID).all()
+
+
+def test_pack_block_fastq_fast_path():
+    text = "@a\nACGTACGT\n+\nIIIIIIII\n@b\nNNGG\n+\nIIII\n"
+    buf = _buf(text)
+    ns, ne, ss, se = fast_parse.scan_fastq(buf)
+    codes, lengths = fast_parse.pack_block(buf, ss, se, 16)
+    assert lengths.tolist() == [8, 4]
+    np.testing.assert_array_equal(
+        codes[0, :8], codec.encode_ascii(b"ACGTACGT"))
+    np.testing.assert_array_equal(codes[1, :4], codec.encode_ascii(b"NNGG"))
+
+
+def test_fasta_gt_inside_quality_not_a_record():
+    # '>' only counts at line starts
+    text = ">s1\nACGT\n>s2\nGGTT\n"
+    buf = _buf(text)
+    ns, ne, ss, se = fast_parse.scan_fasta(buf)
+    assert len(ns) == 2
+
+
+def test_truncation_to_max_len():
+    text = ">long\n" + "ACGT" * 50 + "\n"
+    buf = _buf(text)
+    ns, ne, ss, se = fast_parse.scan_fasta(buf)
+    codes, lengths = fast_parse.pack_block(buf, ss, se, 64)
+    assert lengths[0] == 200        # true length reported
+    assert codes.shape[1] == 64     # packed truncated
+
+
+def test_classify_file_matches_records(tmp_path):
+    import random
+
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+    from cuclark_tpu.pipeline import Classifier
+
+    rng = random.Random(11)
+    genomes = {}
+    file_labels = []
+    for t in (1, 2):
+        g = "".join(rng.choice("ACGT") for _ in range(2500))
+        genomes[t] = g
+        p = tmp_path / f"g{t}.fa"
+        p.write_text(f">g{t}\n{g}\n")
+        file_labels.append((str(p), f"T{t}"))
+    db = build_db(file_labels, DBConfig(k=21))
+
+    reads = []
+    for i in range(40):
+        t = rng.randrange(1, 3)
+        pos = rng.randrange(0, 2400 - 100)
+        reads.append((f"r{i}", genomes[t][pos: pos + 100]))
+    fq = tmp_path / "reads.fq"
+    fq.write_text("".join(f"@{n} d\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+
+    clf = Classifier(db, ClassifyConfig(batch_reads=16))
+    via_file = list(clf.classify_file(fq))
+    via_records = list(
+        clf.classify_records((n, s.encode()) for n, s in reads))
+    assert via_file == via_records
+
+
+def test_classify_file_paired_matches_merged(tmp_path):
+    import random
+
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+    from cuclark_tpu.pipeline import Classifier
+
+    rng = random.Random(12)
+    g = "".join(rng.choice("ACGT") for _ in range(3000))
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{g}\n")
+    db = build_db([(str(p), "T1")], DBConfig(k=21))
+
+    r1, r2 = [], []
+    for i in range(10):
+        pos = rng.randrange(0, 2500)
+        r1.append((f"p{i}", g[pos: pos + 80]))
+        r2.append((f"p{i}", g[pos + 120: pos + 200]))
+    (tmp_path / "r1.fq").write_text(
+        "".join(f"@{n}/1\n{s}\n+\n{'I' * len(s)}\n" for n, s in r1))
+    (tmp_path / "r2.fq").write_text(
+        "".join(f"@{n}/2\n{s}\n+\n{'I' * len(s)}\n" for n, s in r2))
+
+    clf = Classifier(db, ClassifyConfig(batch_reads=4))
+    via_file = list(clf.classify_file(tmp_path / "r1.fq", tmp_path / "r2.fq"))
+    merged = [(f"{n}/1", (s1 + "N" + s2).encode())
+              for (n, s1), (_, s2) in zip(r1, r2)]
+    via_records = list(clf.classify_records(iter(merged), paired=True))
+    assert via_file == via_records

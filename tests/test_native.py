@@ -1,0 +1,89 @@
+"""Native C++ host module vs numpy/oracle implementations."""
+
+import numpy as np
+import pytest
+
+from cuclark_tpu import native
+from cuclark_tpu.db_build.builder import (
+    extract_canonical_light_np,
+    extract_canonical_np,
+)
+from cuclark_tpu.io import fast_parse
+from tests import oracle
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain"
+)
+
+
+def test_scan_fastq_matches_numpy():
+    text = ("@r1 d\nACGTN\n+\nIIIII\n@r2\tx\nGGGGA\n+z\nIIIII\n@r3\nTT\n+\nII\n")
+    buf = np.frombuffer(text.encode(), np.uint8)
+    got = native.scan(buf)
+    want = fast_parse.scan_fastq(buf)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_scan_fasta_matches_numpy():
+    text = ">s1 d\nACGT\nTTGG\n>s2\nNNACGT\n>s3 x\nG\n"
+    buf = np.frombuffer(text.encode(), np.uint8)
+    gn, ge, gs, gse = native.scan(buf)
+    wn, we, ws, wse = fast_parse.scan_fasta(buf)
+    np.testing.assert_array_equal(gn, wn)
+    np.testing.assert_array_equal(ge, we)
+    np.testing.assert_array_equal(gs, ws)
+    # fasta seq_e may differ by trailing-newline trimming; compare packs
+    gcodes, glen = native.pack_block(buf, gs, gse, 16)
+    wcodes, wlen = fast_parse.pack_block(buf, ws, wse, 16)
+    np.testing.assert_array_equal(gcodes, wcodes)
+    np.testing.assert_array_equal(glen, wlen)
+
+
+def test_pack_block_matches_numpy():
+    text = "@a\nACGTacgtNN\n+\nIIIIIIIIII\n@b\nGG\n+\nII\n"
+    buf = np.frombuffer(text.encode(), np.uint8)
+    ns, ne, ss, se = fast_parse.scan_fastq(buf)
+    gcodes, glen = native.pack_block(buf, ss, se, 12, n_rows=3)
+    wcodes, wlen = fast_parse.pack_block(buf, ss, se, 12, n_rows=3)
+    np.testing.assert_array_equal(gcodes, wcodes)
+    np.testing.assert_array_equal(glen, wlen)
+
+
+@pytest.mark.parametrize("k", [5, 21, 31, 32])
+def test_extract_canonical_matches_oracle(k):
+    import random
+
+    rng = random.Random(k)
+    seq = "".join(rng.choice("ACGTNacgt") for _ in range(500))
+    got = native.extract_canonical(seq.encode(), k)
+    want = np.array(oracle.read_kmers(seq, k), dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(extract_canonical_np(seq.encode(), k), want)
+
+
+@pytest.mark.parametrize("k,gap", [(7, 2), (27, 4)])
+def test_extract_canonical_light_matches_oracle(k, gap):
+    import random
+
+    rng = random.Random(k * gap)
+    seq = "".join(rng.choice("ACGTNACGT") for _ in range(800))
+    want, want_it = oracle.light_kmers(seq, k, gap, 0)
+    got, got_it = native.extract_canonical_light(seq.encode(), k, gap, 0)
+    np.testing.assert_array_equal(got, np.array(want, dtype=np.uint64))
+    assert got_it == want_it
+    got_np, np_it = extract_canonical_light_np(seq.encode(), k, gap, 0)
+    np.testing.assert_array_equal(got_np, np.array(want, dtype=np.uint64))
+    assert np_it == want_it
+
+
+def test_light_iter_persists_across_sequences():
+    k, gap = 5, 3
+    s1, s2 = "ACGTACGTACG", "TTTTTGGGGGA"
+    w1, it1 = oracle.light_kmers(s1, k, gap, 0)
+    w2, it2 = oracle.light_kmers(s2, k, gap, it1)
+    g1, j1 = native.extract_canonical_light(s1.encode(), k, gap, 0)
+    g2, j2 = native.extract_canonical_light(s2.encode(), k, gap, j1)
+    assert j1 == it1 and j2 == it2
+    np.testing.assert_array_equal(g1, np.array(w1, dtype=np.uint64))
+    np.testing.assert_array_equal(g2, np.array(w2, dtype=np.uint64))
