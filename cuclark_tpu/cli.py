@@ -100,7 +100,8 @@ def cmd_classify(args) -> int:
 
     db = KmerDB.load(dbp, sample_factor=args.sfactor)
     cfg = ClassifyConfig(batch_reads=args.batch, extended=args.extended,
-                         sample_factor=args.sfactor)
+                         sample_factor=args.sfactor,
+                         max_table_mb=args.max_table_mb)
     clf = Classifier(db, cfg)
 
     jobs = []  # (path, paired_path, out_path)
@@ -211,7 +212,27 @@ def _add_db_args(p):
                    help="target hash load factor [0.8]")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    multi-second jit compiles (the dominant cold-start cost on TPU)."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "cuclark_tpu", "xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="cuclark-tpu",
         description="TPU-native metagenomic read classifier (CuCLARK capabilities)",
@@ -237,6 +258,10 @@ def main(argv=None) -> int:
                    help="reads per device batch [16384]")
     c.add_argument("--extended", action="store_true",
                    help="emit dense per-target hit columns")
+    c.add_argument("--max-table-mb", type=float, default=None,
+                   help="device memory budget for the DB table; larger "
+                        "tables stream in bucket-range parts (swap-cycle "
+                        "analog)")
     _add_db_args(c)
     c.set_defaults(fn=cmd_classify)
 

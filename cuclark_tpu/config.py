@@ -82,6 +82,12 @@ class ClassifyConfig:
     max_read_len: int = 256
     sample_factor: int = 1
     extended: bool = False
+    # DB streaming (the analog of reference swap cycles, src/CuClarkDB.cu:
+    # 813-858): when the table exceeds max_table_mb of device memory it is
+    # split into bucket-range parts streamed host->device, each part probed
+    # against a group of stream_group batches per upload.
+    max_table_mb: float | None = None
+    stream_group: int = 8
 
     def __post_init__(self):
         if self.sample_factor < 1:

@@ -54,6 +54,28 @@ def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
     return (results, labels) if with_labels else (results, None)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nb_bits", "slots", "num_choices", "nb_local"),
+)
+def probe_part_step(table_part, codes, bucket_start, *, k, nb_bits, slots,
+                    num_choices, nb_local):
+    """Probe one DB bucket-range part: codes [R, L] -> labels [R, P].
+
+    The single-chip analog of one reference swap cycle's queryKernel
+    pass over a DB part (src/CuClarkDB.cu:813-858 swapDbParts +
+    :1045-1243); partial label arrays merge by addition because every
+    k-mer lives in at most one part."""
+    (khi, klo), valid = codec.extract_kmers(codes, k)
+    chi, clo = codec.canonical((khi, klo), k)
+    labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
+                   bucket_start=bucket_start, nb_local=nb_local)
+    return jnp.where(valid, labels, 0)
+
+
+score_step = jax.jit(score.score_labels)
+
+
 @dataclass
 class ReadBatch:
     """Host-side packed batch."""
@@ -86,7 +108,20 @@ class Classifier:
         self.db = db
         self.cfg = cfg or ClassifyConfig()
         self.len_bins = tuple(sorted(len_bins))
-        self.table = jnp.asarray(db.table)
+        # DB streaming decision (reference swap-cycle analog): if the
+        # table exceeds the device budget, keep it host-side and stream
+        # power-of-two bucket-range parts per batch group.
+        self.stream_parts = 1
+        if self.cfg.max_table_mb is not None:
+            budget = self.cfg.max_table_mb * 1e6
+            while (db.table.nbytes / self.stream_parts > budget
+                   and self.stream_parts < db.nb):
+                self.stream_parts *= 2
+        if self.stream_parts > 1:
+            self.table = None
+            self.np_table = np.ascontiguousarray(db.table)
+        else:
+            self.table = jnp.asarray(db.table)
 
     def _bin_for(self, max_len: int) -> int:
         for b in self.len_bins:
@@ -125,32 +160,78 @@ class Classifier:
         else:
             buf2 = None
 
-        B = self.cfg.batch_reads
-        inflight = None  # (results_dev, labels_dev, names, lengths, count)
-        for lo in range(0, len(seq_s), B):
-            hi = min(lo + B, len(seq_s))
-            cnt = hi - lo
-            codes1, len1 = fast_parse.pack_block_dispatch(
-                buf, seq_s[lo:hi], seq_e[lo:hi],
-                self._bin_for_range(buf, seq_s[lo:hi], seq_e[lo:hi], buf2,
-                                    None if buf2 is None else seq_s2[lo:hi],
-                                    None if buf2 is None else seq_e2[lo:hi]),
-                n_rows=cnt,
-            )
-            if buf2 is not None:
-                codes, lengths = _merge_paired(
-                    codes1, len1, buf2, seq_s2[lo:hi], seq_e2[lo:hi],
-                    codes1.shape[1])
-            else:
-                codes, lengths = codes1, len1
-            names = fast_parse.names_of(buf, name_s[lo:hi], name_e[lo:hi])
+        paired = buf2 is not None
 
+        def packed():
+            B = self.cfg.batch_reads
+            for lo in range(0, len(seq_s), B):
+                hi = min(lo + B, len(seq_s))
+                cnt = hi - lo
+                codes1, len1 = fast_parse.pack_block_dispatch(
+                    buf, seq_s[lo:hi], seq_e[lo:hi],
+                    self._bin_for_range(
+                        buf, seq_s[lo:hi], seq_e[lo:hi], buf2,
+                        None if buf2 is None else seq_s2[lo:hi],
+                        None if buf2 is None else seq_e2[lo:hi]),
+                    n_rows=cnt,
+                )
+                if paired:
+                    codes, lengths = _merge_paired(
+                        codes1, len1, buf2, seq_s2[lo:hi], seq_e2[lo:hi],
+                        codes1.shape[1])
+                else:
+                    codes, lengths = codes1, len1
+                names = fast_parse.names_of(buf, name_s[lo:hi], name_e[lo:hi])
+                yield codes, names, lengths, cnt
+
+        if self.stream_parts > 1:
+            group = []
+            for pb in packed():
+                group.append(pb)
+                if len(group) >= self.cfg.stream_group:
+                    yield from self._classify_group_streaming(group, paired)
+                    group = []
+            if group:
+                yield from self._classify_group_streaming(group, paired)
+            return
+
+        from collections import deque
+
+        # keep a few batches in flight so host packing/formatting and
+        # transfers overlap device compute (the reference's pipeline
+        # scheduler role, src/CuCLARK_hh.hh:1738-1761)
+        inflight = deque()
+        for codes, names, lengths, cnt in packed():
             out = self._device_step(codes)  # async dispatch
-            if inflight is not None:
-                yield from self._emit(*inflight, paired=buf2 is not None)
-            inflight = (out[0], out[1], names, lengths, cnt)
-        if inflight is not None:
-            yield from self._emit(*inflight, paired=buf2 is not None)
+            inflight.append((out[0], out[1], names, lengths, cnt))
+            if len(inflight) > 3:
+                yield from self._emit(*inflight.popleft(), paired=paired)
+        while inflight:
+            yield from self._emit(*inflight.popleft(), paired=paired)
+
+    def _classify_group_streaming(self, group, paired: bool):
+        """Stream DB parts over a group of packed batches (the reference
+        multi-cycle path: swap part, re-query every batch,
+        src/CuCLARK_hh.hh:1766-1774) and merge partial labels by sum."""
+        db = self.db
+        P = self.stream_parts
+        rows = db.nb // P
+        acc = [np.zeros((c.shape[0], c.shape[1] - db.k + 1), np.int32)
+               for c, _, _, _ in group]
+        for p in range(P):
+            part = jnp.asarray(self.np_table[p * rows:(p + 1) * rows])
+            for gi, (codes, _, _, _) in enumerate(group):
+                lab = probe_part_step(
+                    part, jnp.asarray(codes), jnp.int32(p * rows),
+                    k=db.k, nb_bits=db.nb_bits, slots=db.slots,
+                    num_choices=db.num_choices, nb_local=rows,
+                )
+                acc[gi] += np.asarray(lab)
+        for gi, (_, names, lengths, cnt) in enumerate(group):
+            results = np.asarray(score_step(jnp.asarray(acc[gi])))
+            labels_np = acc[gi] if self.cfg.extended else None
+            yield from self._emit_np(results, labels_np, names, lengths,
+                                     cnt, paired)
 
     def _bin_for_range(self, buf, s, e, buf2, s2, e2) -> int:
         mx = int((e - s).max(initial=1))
@@ -162,6 +243,11 @@ class Classifier:
               paired: bool):
         results = np.asarray(results_dev)
         labels_np = np.asarray(labels_dev) if labels_dev is not None else None
+        yield from self._emit_np(results, labels_np, names, lengths, count,
+                                 paired)
+
+    def _emit_np(self, results, labels_np, names, lengths, count,
+                 paired: bool):
         total, ibest, best, isecond, second = (results[:, i] for i in range(5))
         norm, gamma, conf = score.gamma_confidence(
             total, best, second, lengths, self.db.k, paired
@@ -192,6 +278,9 @@ class Classifier:
 
         Yields per-read result dicts in input order.
         """
+        if self.stream_parts > 1:
+            yield from self._classify_records_streaming(records, paired)
+            return
         batch = []
         inflight = None
         for rec in records:
@@ -205,6 +294,29 @@ class Classifier:
             yield from out
         if inflight is not None:
             yield from self._emit(*inflight, paired=paired)
+
+    def _classify_records_streaming(self, records, paired: bool):
+        group = []
+
+        def pack(batch):
+            max_len = max((len(s) for _, s in batch), default=1)
+            L = max(self._bin_for(max_len), self.db.k)
+            rb = pack_reads(batch, len(batch), L)
+            return rb.codes, rb.names, rb.lengths, rb.count
+
+        batch = []
+        for rec in records:
+            batch.append(rec)
+            if len(batch) == self.cfg.batch_reads:
+                group.append(pack(batch))
+                batch = []
+                if len(group) >= self.cfg.stream_group:
+                    yield from self._classify_group_streaming(group, paired)
+                    group = []
+        if batch:
+            group.append(pack(batch))
+        if group:
+            yield from self._classify_group_streaming(group, paired)
 
     def _dispatch_batch(self, batch, inflight, paired: bool):
         max_len = max((len(s) for _, s in batch), default=1)
