@@ -62,9 +62,11 @@ def cmd_build_db(args) -> int:
     cfg = _build_cfg(args)
     file_labels = parse_targets_file(args.targets)
     t0 = time.time()
+    tsk_dir = Path(args.db_dir) / "tsk" if getattr(args, "tsk", False) else None
     db = build_db(
         file_labels, cfg,
         progress=lambda fp, lb: print(f"  {fp} -> {lb}", file=sys.stderr),
+        tsk_dir=tsk_dir,
     )
     dbdir = Path(args.db_dir)
     dbdir.mkdir(parents=True, exist_ok=True)
@@ -167,6 +169,33 @@ def cmd_abundance(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Remove database artifacts (resetCustomDB.sh / clean.sh analog):
+    by default keeps targets.txt and the tsk archive; --all removes
+    everything produced in the db dir."""
+    import shutil
+
+    d = Path(args.db_dir)
+    if not d.exists():
+        return 0
+    removed = []
+    for p in d.glob("db_k*.npz"):
+        p.unlink()
+        removed.append(p.name)
+    if args.all:
+        for name in ("tsk", "targets.txt", ".settings", "files_excluded.txt"):
+            p = d / name
+            if p.is_dir():
+                shutil.rmtree(p)
+                removed.append(name + "/")
+            elif p.exists():
+                p.unlink()
+                removed.append(name)
+    print(f"removed: {', '.join(removed) if removed else 'nothing'}",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_set_targets(args) -> int:
     from cuclark_tpu.taxonomy.targets import set_targets
 
@@ -210,6 +239,10 @@ def _add_db_args(p):
                    help="hash choices per key [2]")
     p.add_argument("--load", type=float, default=0.8,
                    help="target hash load factor [0.8]")
+    p.add_argument("--tsk", action="store_true",
+                   help="dump/resume target-specific k-mer sets "
+                        "(<dbdir>/tsk) so the DB can be rebuilt without "
+                        "re-streaming genomes")
 
 
 def _enable_compile_cache():
@@ -277,6 +310,12 @@ def main(argv=None) -> int:
                     choices=["species", "genus", "family", "order", "class", "phylum", "custom"])
     st.add_argument("--taxonomy-dir", help="dir with nodes.dmp / accession2taxid")
     st.set_defaults(fn=cmd_set_targets)
+
+    cl = sub.add_parser("clean", help="remove database artifacts")
+    cl.add_argument("-D", "--db-dir", required=True)
+    cl.add_argument("--all", action="store_true",
+                    help="also remove targets.txt, settings, and tsk sets")
+    cl.set_defaults(fn=cmd_clean)
 
     i = sub.add_parser("info", help="print database info")
     i.add_argument("-D", "--db-dir", required=True)

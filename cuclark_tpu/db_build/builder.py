@@ -99,23 +99,78 @@ def parse_targets_file(path) -> list[tuple[str, str]]:
     return out
 
 
+def is_spectrum_file(path) -> bool:
+    """Spectrum input: lines '<kmer-string> <count>' — the reference
+    build's third input branch (src/CuCLARK_hh.hh:845-905)."""
+    try:
+        with open(path, "rb") as f:
+            first = f.readline().split()
+    except OSError:
+        return False
+    if len(first) != 2:
+        return False
+    try:
+        codec.string_to_kmer(first[0].decode())
+        int(first[1])
+        return True
+    except (ValueError, UnicodeDecodeError):
+        return False
+
+
+def read_spectrum(path, k: int, gap: int = 1):
+    """Parse a spectrum file -> (canonical kmers u64, counts u32).
+
+    Light mode keeps every gap-th line (the reference applies
+    `counter % iterKmers` to spectrum entries too,
+    src/CuCLARK_hh.hh:868)."""
+    kms, cnts = [], []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            parts = line.split()
+            if not parts:
+                continue
+            if gap > 1 and i % gap != 0:
+                continue
+            if len(parts) != 2:
+                raise ValueError(f"bad spectrum line in {path}: {line!r}")
+            if len(parts[0]) != k:
+                raise ValueError(
+                    f"spectrum k-mer length {len(parts[0])} != k={k}")
+            kms.append(codec.string_to_kmer(parts[0]))
+            cnts.append(int(parts[1]))
+    km = codec.canonical_np(np.array(kms, dtype=np.uint64), k)
+    return km, np.array(cnts, dtype=np.uint32)
+
+
 def collect_target_kmers(file_labels, cfg: DBConfig, progress=None):
-    """Stream genomes; return (kmers u64[N], labels u32[N], target_names).
+    """Stream genomes; return (kmers, labels, counts, target_names).
 
     target_names[0] == 'NA'; label ids are first-seen order, 1-based
-    (matching the reference's first-seen target registration)."""
+    (matching the reference's first-seen target registration).
+    counts are per-occurrence multiplicities (1 for sequence inputs,
+    explicit for spectrum inputs)."""
     from cuclark_tpu import native
 
     names = ["NA"]
     ids: dict[str, int] = {}
     km_chunks = []
     lb_chunks = []
+    ct_chunks = []
     use_native = native.available()
     for fp, label in file_labels:
         if label not in ids:
             ids[label] = len(names)
             names.append(label)
         lid = ids[label]
+        if is_spectrum_file(fp):
+            km, ct = read_spectrum(fp, cfg.k, cfg.gap)
+            if len(km):
+                km_chunks.append(km)
+                lb_chunks.append(np.full(len(km), lid, dtype=np.uint32))
+                ct_chunks.append(ct)
+            if progress:
+                progress(fp, label)
+            continue
         it = 0  # light-mode block counter, reset per genome file
         for _name, seq in fasta.read_records(fp):
             if cfg.gap > 1:
@@ -132,16 +187,23 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None):
             if len(km):
                 km_chunks.append(km)
                 lb_chunks.append(np.full(len(km), lid, dtype=np.uint32))
+                ct_chunks.append(np.ones(len(km), dtype=np.uint32))
         if progress:
             progress(fp, label)
     if not km_chunks:
-        return (np.empty(0, np.uint64), np.empty(0, np.uint32), names)
-    return np.concatenate(km_chunks), np.concatenate(lb_chunks), names
+        return (np.empty(0, np.uint64), np.empty(0, np.uint32),
+                np.empty(0, np.uint32), names)
+    return (np.concatenate(km_chunks), np.concatenate(lb_chunks),
+            np.concatenate(ct_chunks), names)
 
 
-def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0):
+def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0,
+                 counts: np.ndarray | None = None):
     """Keep k-mers occurring in exactly one target (RemoveCommon
     semantics) with occurrence count >= min_count (reference -t).
+
+    counts: optional per-occurrence multiplicities (spectrum inputs
+    carry explicit counts); defaults to 1 each.
 
     Returns (unique_kmers u64, labels u32, counts u32)."""
     if len(kmers) == 0:
@@ -152,17 +214,49 @@ def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0):
     starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
     lmin = np.minimum.reduceat(sl, starts)
     lmax = np.maximum.reduceat(sl, starts)
-    counts = np.diff(np.r_[starts, len(sk)]).astype(np.uint32)
+    if counts is None:
+        cnt = np.diff(np.r_[starts, len(sk)]).astype(np.uint32)
+    else:
+        cnt = np.add.reduceat(counts[order].astype(np.uint64), starts)
+        cnt = np.minimum(cnt, 0xFFFFFFFF).astype(np.uint32)
     specific = lmin == lmax
     if min_count > 1:
-        specific &= counts >= min_count
-    return sk[starts[specific]], lmin[specific], counts[specific]
+        specific &= cnt >= min_count
+    return sk[starts[specific]], lmin[specific], cnt[specific]
 
 
-def build_db(file_labels, cfg: DBConfig, progress=None) -> KmerDB:
-    kmers, labels, names = collect_target_kmers(file_labels, cfg, progress)
-    kmers, labels, _counts = discriminate(kmers, labels, cfg.min_count)
+def build_db(file_labels, cfg: DBConfig, progress=None,
+             tsk_dir=None) -> KmerDB:
+    """Build the database; optionally resume from / dump to a
+    target-specific-set archive (reference --tsk, SaveMultiple/Load,
+    src/HashTableStorage_hh.hh:295-405, 697-737)."""
+    if tsk_dir is not None and (Path(tsk_dir) / "tsk.npz").exists():
+        kmers, labels, names = load_tsk(tsk_dir)
+        return build_table(kmers, labels, names, cfg)
+    kmers, labels, counts, names = collect_target_kmers(
+        file_labels, cfg, progress)
+    kmers, labels, counts = discriminate(kmers, labels, cfg.min_count,
+                                         counts)
+    if tsk_dir is not None:
+        save_tsk(tsk_dir, kmers, labels, names)
     return build_table(kmers, labels, names, cfg)
+
+
+def save_tsk(tsk_dir, kmers, labels, names) -> None:
+    """Dump the discriminative (target-specific) k-mer sets so a DB can
+    be rebuilt with different hash parameters without re-streaming the
+    genomes — the role of the reference's per-target .ht files."""
+    d = Path(tsk_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        d / "tsk.npz", kmers=kmers, labels=labels,
+        names=np.array(names, dtype=object),
+    )
+
+
+def load_tsk(tsk_dir):
+    with np.load(Path(tsk_dir) / "tsk.npz", allow_pickle=True) as z:
+        return (z["kmers"], z["labels"], [str(x) for x in z["names"]])
 
 
 def db_name(cfg: DBConfig, num_targets: int) -> str:

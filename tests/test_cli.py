@@ -1,0 +1,129 @@
+"""CLI surface tests (build-db, classify, tsk resume, spectrum, clean)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from cuclark_tpu.cli import main
+from cuclark_tpu.db_build.builder import is_spectrum_file, read_spectrum
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def demo(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = random.Random(31)
+    genomes = {}
+    lines = []
+    for t in (1, 2):
+        g = "".join(rng.choice("ACGT") for _ in range(2000))
+        genomes[t] = g
+        p = tmp / f"g{t}.fa"
+        p.write_text(f">g{t}\n{g}\n")
+        lines.append(f"{p} S{t}")
+    (tmp / "targets.txt").write_text("\n".join(lines) + "\n")
+    reads = []
+    for i in range(30):
+        t = rng.randrange(1, 3)
+        pos = rng.randrange(0, 1900)
+        reads.append((f"r{i}_t{t}", genomes[t][pos: pos + 100]))
+    (tmp / "reads.fq").write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+    return tmp, genomes, reads
+
+
+def test_build_classify_roundtrip(demo, capsys):
+    tmp, genomes, reads = demo
+    rc = main(["build-db", "-T", str(tmp / "targets.txt"),
+               "-D", str(tmp / "db"), "-k", "21", "--tsk"])
+    assert rc == 0
+    assert (tmp / "db" / "tsk" / "tsk.npz").exists()
+    rc = main(["classify", "-D", str(tmp / "db"),
+               "-O", str(tmp / "reads.fq"), "-R", str(tmp / "out.csv")])
+    assert rc == 0
+    rows = (tmp / "out.csv").read_text().splitlines()
+    assert len(rows) == 31
+    for line in rows[1:]:
+        name, _, _, assign = line.split(",")[:4]
+        want = "S" + name.split("_t")[1]
+        assert assign == want
+
+
+def test_tsk_resume_rebuild(demo):
+    tmp, _, _ = demo
+    # remove the db artifact; rebuild must come from the tsk archive
+    for p in (tmp / "db").glob("db_k*.npz"):
+        p.unlink()
+    rc = main(["build-db", "-T", str(tmp / "targets.txt"),
+               "-D", str(tmp / "db"), "-k", "21", "--tsk", "--slots", "2",
+               "--load", "0.5"])
+    assert rc == 0
+    assert list((tmp / "db").glob("db_k*.npz"))
+
+
+def test_spectrum_input(tmp_path):
+    k = 9
+    rng = random.Random(5)
+    # two targets as spectrum files with explicit counts
+    spec = {}
+    for t in (1, 2):
+        kms = {}
+        for _ in range(60):
+            s = "".join(rng.choice("ACGT") for _ in range(k))
+            kms[s] = rng.randrange(1, 5)
+        spec[t] = kms
+        (tmp_path / f"t{t}.spectrum").write_text(
+            "".join(f"{s} {c}\n" for s, c in kms.items()))
+    (tmp_path / "targets.txt").write_text(
+        f"{tmp_path}/t1.spectrum A\n{tmp_path}/t2.spectrum B\n")
+
+    assert is_spectrum_file(tmp_path / "t1.spectrum")
+    km, ct = read_spectrum(tmp_path / "t1.spectrum", k)
+    assert len(km) == len(spec[1])
+
+    rc = main(["build-db", "-T", str(tmp_path / "targets.txt"),
+               "-D", str(tmp_path / "db"), "-k", str(k)])
+    assert rc == 0
+    # oracle check of DB content
+    from cuclark_tpu.hashdb import KmerDB
+    db = KmerDB.load(next((tmp_path / "db").glob("db_k*.npz")))
+    want = {}
+    for t, kms in spec.items():
+        for s in kms:
+            cv = oracle.canonical_value(oracle.kmer_value(s), k)
+            if cv in want and want[cv] != t:
+                want[cv] = -1
+            elif cv not in want:
+                want[cv] = t
+    n_specific = sum(1 for v in want.values() if v > 0)
+    assert db.num_kmers == n_specific
+
+
+def test_spectrum_min_count(tmp_path):
+    k = 7
+    (tmp_path / "a.spectrum").write_text("ACGTACG 5\nGGGTTTA 1\n")
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/a.spectrum X\n")
+    rc = main(["build-db", "-T", str(tmp_path / "targets.txt"),
+               "-D", str(tmp_path / "db"), "-k", str(k), "-t", "3"])
+    assert rc == 0
+    from cuclark_tpu.hashdb import KmerDB
+    db = KmerDB.load(next((tmp_path / "db").glob("db_k*.npz")))
+    assert db.num_kmers == 1  # only the count-5 k-mer survives -t 3
+
+
+def test_clean(demo):
+    tmp, _, _ = demo
+    assert list((tmp / "db").glob("db_k*.npz"))
+    rc = main(["clean", "-D", str(tmp / "db")])
+    assert rc == 0
+    assert not list((tmp / "db").glob("db_k*.npz"))
+    assert (tmp / "db" / "tsk" / "tsk.npz").exists()
+    rc = main(["clean", "-D", str(tmp / "db"), "--all"])
+    assert rc == 0
+    assert not (tmp / "db" / "tsk").exists()
+
+
+def test_version_like_flags(capsys):
+    with pytest.raises(SystemExit):
+        main(["--help"])
