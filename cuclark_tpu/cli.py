@@ -118,6 +118,13 @@ def cmd_classify(args) -> int:
             for obj, res in pairs:
                 jobs.append((obj, None, res))
 
+    profile_cm = None
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
+
     for path, paired_path, out_path in jobs:
         t0 = time.time()
         n = 0
@@ -128,8 +135,19 @@ def cmd_classify(args) -> int:
                 n += 1
                 yield r
 
-        rows = _counted(clf.classify_file(path, paired_path))
-        write_results(out_path, rows, db.target_names, extended=args.extended)
+        skip = 0
+        if args.resume:
+            skip = _count_csv_rows(out_path)
+        rows = _counted(clf.classify_file(path, paired_path, skip=skip))
+        if skip:
+            print(f"Resuming after {skip} already-classified reads.",
+                  file=sys.stderr)
+            _append_results(out_path, rows, db.target_names,
+                            extended=args.extended)
+        else:
+            write_results(out_path, rows, db.target_names,
+                          extended=args.extended)
+        n += skip
         dt = time.time() - t0
         # reference prints objects/min (src/CuCLARK_hh.hh:1940-1943)
         print(
@@ -137,7 +155,26 @@ def cmd_classify(args) -> int:
             f"{int(n / dt * 60.0) if dt > 0 else 0} objects/min. ({n} objects).",
         )
         print(f" - Results stored in {out_path}")
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        print(f" - Profiler trace in {args.profile}", file=sys.stderr)
     return 0
+
+
+def _count_csv_rows(path) -> int:
+    try:
+        with open(path, "rb") as f:
+            return max(0, sum(1 for _ in f) - 1)
+    except OSError:
+        return 0
+
+
+def _append_results(out_path, rows, target_names, extended=False):
+    from cuclark_tpu.io.csv_out import format_row
+
+    with open(out_path, "a") as f:
+        for row in rows:
+            f.write(format_row(row, target_names, extended))
 
 
 def cmd_abundance(args) -> int:
@@ -295,6 +332,11 @@ def main(argv=None) -> int:
                    help="device memory budget for the DB table; larger "
                         "tables stream in bucket-range parts (swap-cycle "
                         "analog)")
+    c.add_argument("--resume", action="store_true",
+                   help="append to an existing result CSV, skipping reads "
+                        "already classified (crash recovery)")
+    c.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run into DIR")
     _add_db_args(c)
     c.set_defaults(fn=cmd_classify)
 

@@ -143,16 +143,22 @@ class Classifier:
 
     # ---------- file fast path ----------
 
-    def classify_file(self, path, paired_path=None):
+    def classify_file(self, path, paired_path=None, skip: int = 0):
         """Yield result rows for a whole FASTA/FASTQ file (optionally a
-        paired mate file merged with a joining N)."""
+        paired mate file merged with a joining N).  skip: number of
+        leading records to skip (resume support)."""
         from cuclark_tpu.io import fast_parse, fasta
 
         buf = _read_file_bytes(path)
         name_s, name_e, seq_s, seq_e = fast_parse.scan_file(buf)
+        if skip:
+            name_s, name_e = name_s[skip:], name_e[skip:]
+            seq_s, seq_e = seq_s[skip:], seq_e[skip:]
         if paired_path is not None:
             buf2 = _read_file_bytes(paired_path)
             _, _, seq_s2, seq_e2 = fast_parse.scan_file(buf2)
+            if skip:
+                seq_s2, seq_e2 = seq_s2[skip:], seq_e2[skip:]
             n = min(len(seq_s), len(seq_s2))
             name_s, name_e = name_s[:n], name_e[:n]
             seq_s, seq_e = seq_s[:n], seq_e[:n]

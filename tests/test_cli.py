@@ -127,3 +127,21 @@ def test_clean(demo):
 def test_version_like_flags(capsys):
     with pytest.raises(SystemExit):
         main(["--help"])
+
+
+def test_resume_appends(demo, tmp_path):
+    tmp, genomes, reads = demo
+    # rebuild DB (cleaned by test_clean) then classify fully
+    main(["build-db", "-T", str(tmp / "targets.txt"),
+          "-D", str(tmp / "db2"), "-k", "21"])
+    full = tmp_path / "full.csv"
+    main(["classify", "-D", str(tmp / "db2"),
+          "-O", str(tmp / "reads.fq"), "-R", str(full)])
+    want = full.read_text()
+    # simulate a crash after 12 reads, then resume
+    part = tmp_path / "part.csv"
+    part.write_text("".join(want.splitlines(keepends=True)[:13]))
+    rc = main(["classify", "-D", str(tmp / "db2"),
+               "-O", str(tmp / "reads.fq"), "-R", str(part), "--resume"])
+    assert rc == 0
+    assert part.read_text() == want

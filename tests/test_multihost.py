@@ -1,0 +1,52 @@
+"""Per-host input sharding: every read owned by exactly one host, in order."""
+
+import random
+
+import numpy as np
+import pytest
+
+from cuclark_tpu.io import fast_parse
+from cuclark_tpu.parallel import multihost
+
+
+def _check_partition(buf, num_hosts):
+    full = fast_parse.scan_file(buf)
+    got_names = []
+    for h in range(num_hosts):
+        ns, ne, ss, se = multihost.shard_reads_for_host(buf, num_hosts, h)
+        got_names.extend(fast_parse.names_of(buf, ns, ne))
+    want_names = fast_parse.names_of(buf, full[0], full[1])
+    assert got_names == want_names
+
+
+@pytest.mark.parametrize("num_hosts", [1, 2, 3, 7])
+def test_fastq_partition(num_hosts):
+    rng = random.Random(num_hosts)
+    recs = []
+    for i in range(50):
+        L = rng.randrange(30, 120)
+        seq = "".join(rng.choice("ACGT") for _ in range(L))
+        # adversarial: quality line starting with '@' or '+'
+        qual = ("@" if i % 3 == 0 else "+" if i % 3 == 1 else "I") + "I" * (L - 1)
+        recs.append(f"@read{i} x\n{seq}\n+\n{qual}\n")
+    buf = np.frombuffer("".join(recs).encode(), np.uint8)
+    _check_partition(buf, num_hosts)
+
+
+@pytest.mark.parametrize("num_hosts", [1, 2, 4])
+def test_fasta_partition(num_hosts):
+    rng = random.Random(num_hosts + 10)
+    recs = []
+    for i in range(40):
+        L = rng.randrange(20, 300)
+        seq = "".join(rng.choice("ACGT") for _ in range(L))
+        # multi-line bodies
+        body = "\n".join(seq[j: j + 60] for j in range(0, L, 60))
+        recs.append(f">seq{i} d\n{body}\n")
+    buf = np.frombuffer("".join(recs).encode(), np.uint8)
+    _check_partition(buf, num_hosts)
+
+
+def test_more_hosts_than_records():
+    buf = np.frombuffer(b"@a\nACGT\n+\nIIII\n@b\nGGGG\n+\nIIII\n", np.uint8)
+    _check_partition(buf, 6)
