@@ -54,7 +54,7 @@ def main():
     km = np.unique(km)[:n_kmers]
     labels = rng.integers(1, n_targets + 1, size=len(km)).astype(np.uint32)
     names = ["NA"] + [f"T{i}" for i in range(1, n_targets + 1)]
-    cfg = DBConfig(k=k, slots=4, target_load=0.8)
+    cfg = DBConfig(k=k, slots=2, target_load=0.7)
     t0 = time.time()
     db = build_table(km, labels, names, cfg)
     build_s = time.time() - t0

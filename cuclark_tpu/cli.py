@@ -271,11 +271,11 @@ def _add_db_args(p):
                    help="k-mer sampling stride for DB build [1; light=4]")
     p.add_argument("--light", action="store_true",
                    help="light preset: k=27, gap=4 (cuCLARK-l)")
-    p.add_argument("--slots", type=int, default=4, help="hash bucket slots [4]")
+    p.add_argument("--slots", type=int, default=2, help="hash bucket slots [2]")
     p.add_argument("--choices", type=int, default=2, choices=(1, 2),
                    help="hash choices per key [2]")
-    p.add_argument("--load", type=float, default=0.8,
-                   help="target hash load factor [0.8]")
+    p.add_argument("--load", type=float, default=0.7,
+                   help="target hash load factor [0.7]")
     p.add_argument("--tsk", action="store_true",
                    help="dump/resume target-specific k-mer sets "
                         "(<dbdir>/tsk) so the DB can be rebuilt without "

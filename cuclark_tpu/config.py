@@ -48,8 +48,8 @@ class DBConfig:
     k: int = DEFAULT_K_FULL
     gap: int = 1
     min_count: int = 0
-    slots: int = 4
-    target_load: float = 0.8
+    slots: int = 2
+    target_load: float = 0.7
     num_choices: int = 2
 
     def __post_init__(self):
