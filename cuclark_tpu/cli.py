@@ -138,7 +138,9 @@ def cmd_classify(args) -> int:
         skip = 0
         if args.resume:
             skip = _count_csv_rows(out_path)
-        rows = _counted(clf.classify_file(path, paired_path, skip=skip))
+        rows = _counted(clf.classify_file(path, paired_path, skip=skip,
+                                          num_hosts=args.num_hosts,
+                                          host_id=args.host_id))
         if skip:
             print(f"Resuming after {skip} already-classified reads.",
                   file=sys.stderr)
@@ -302,6 +304,14 @@ def _enable_compile_cache():
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        import sys as _sys
+        argv = _sys.argv[1:]
+    if argv and argv[0] in ("--version", "--VERSION"):
+        from cuclark_tpu import __version__
+        print(f"cuclark-tpu {__version__} "
+              f"(TPU-native rebuild of CuCLARK 1.1 capabilities)")
+        return 0
     _enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="cuclark-tpu",
@@ -337,6 +347,10 @@ def main(argv=None) -> int:
                         "already classified (crash recovery)")
     c.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the run into DIR")
+    c.add_argument("--num-hosts", type=int, default=1,
+                   help="total hosts sharding this input [1]")
+    c.add_argument("--host-id", type=int, default=0,
+                   help="this host's rank in [0, num-hosts)")
     _add_db_args(c)
     c.set_defaults(fn=cmd_classify)
 

@@ -139,6 +139,42 @@ class KmerDB:
     def checksum(self) -> int:
         return zlib.crc32(self.table.tobytes())
 
+    # ---------- host-side probe / self-check ----------
+
+    def probe_np(self, kmers: np.ndarray) -> np.ndarray:
+        """Pure-numpy probe (debug/verification twin of probe.probe)."""
+        hi, lo = _split64(np.asarray(kmers, dtype=np.uint64))
+        mask = _M32(self.nb - 1)
+        S = self.slots
+        label = np.zeros(len(hi), dtype=np.int32)
+        with np.errstate(over="ignore"):
+            b1 = mix1(hi, lo) & mask
+            for choice in range(self.num_choices):
+                b = b1 if choice == 0 else (mix2(hi, lo) & mask)
+                rows = self.table[b.astype(np.int64)]
+                m = (rows[:, :S] == lo[:, None]) & (rows[:, S:2 * S] == hi[:, None])
+                if choice == 1:
+                    m &= (b != b1)[:, None]
+                label += np.where(m, rows[:, 2 * S:].astype(np.int32), 0).sum(axis=1)
+        return label
+
+    def verify(self, kmers: np.ndarray, labels: np.ndarray,
+               sample: int | None = 100_000) -> None:
+        """Build self-check: every stored k-mer must probe back to its
+        label (the role of the reference's write-time asserts,
+        src/hashTable_hh.hh:616-629).  Raises on mismatch."""
+        n = len(kmers)
+        if sample is not None and n > sample:
+            idx = np.random.default_rng(0).choice(n, sample, replace=False)
+            kmers, labels = kmers[idx], labels[idx]
+        got = self.probe_np(kmers)
+        bad = got != np.asarray(labels, dtype=np.int32)
+        if bad.any():
+            i = int(np.flatnonzero(bad)[0])
+            raise AssertionError(
+                f"DB self-check failed: kmer {kmers[i]:#x} -> {got[i]} "
+                f"(want {labels[i]}); {int(bad.sum())}/{len(kmers)} bad")
+
 
 def choose_nb_bits(n_kmers: int, cfg: DBConfig) -> int:
     """Smallest power-of-two bucket count achieving <= target_load."""
@@ -176,6 +212,7 @@ def build_table(
     for attempt in range(8):
         db = _try_build(kmers, labels, target_names, cfg, nb_bits)
         if db is not None:
+            db.verify(kmers, labels)
             return db
         nb_bits += 1  # overflow: double the table and retry
     raise RuntimeError("hash table construction failed to converge")

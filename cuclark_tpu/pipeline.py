@@ -143,22 +143,42 @@ class Classifier:
 
     # ---------- file fast path ----------
 
-    def classify_file(self, path, paired_path=None, skip: int = 0):
+    def classify_file(self, path, paired_path=None, skip: int = 0,
+                      num_hosts: int = 1, host_id: int = 0):
         """Yield result rows for a whole FASTA/FASTQ file (optionally a
-        paired mate file merged with a joining N).  skip: number of
-        leading records to skip (resume support)."""
+        paired mate file merged with a joining N).
+
+        skip: number of leading records to skip (resume support).
+        num_hosts/host_id: process only this host's record shard
+        (multi-host data parallelism; shards concatenate in rank order).
+        """
         from cuclark_tpu.io import fast_parse, fasta
 
         buf = _read_file_bytes(path)
-        name_s, name_e, seq_s, seq_e = fast_parse.scan_file(buf)
+        rec_lo = 0
+        if num_hosts > 1 and paired_path is None:
+            from cuclark_tpu.parallel import multihost
+
+            name_s, name_e, seq_s, seq_e = multihost.shard_reads_for_host(
+                buf, num_hosts, host_id)
+        else:
+            name_s, name_e, seq_s, seq_e = fast_parse.scan_file(buf)
+            if num_hosts > 1:
+                # paired mode shards by record index so both mate files
+                # stay aligned
+                n_rec = len(name_s)
+                per = n_rec // num_hosts
+                rec_lo = per * host_id
+                rec_hi = n_rec if host_id == num_hosts - 1 else per * (host_id + 1)
+                name_s, name_e = name_s[rec_lo:rec_hi], name_e[rec_lo:rec_hi]
+                seq_s, seq_e = seq_s[rec_lo:rec_hi], seq_e[rec_lo:rec_hi]
         if skip:
             name_s, name_e = name_s[skip:], name_e[skip:]
             seq_s, seq_e = seq_s[skip:], seq_e[skip:]
         if paired_path is not None:
             buf2 = _read_file_bytes(paired_path)
             _, _, seq_s2, seq_e2 = fast_parse.scan_file(buf2)
-            if skip:
-                seq_s2, seq_e2 = seq_s2[skip:], seq_e2[skip:]
+            seq_s2, seq_e2 = seq_s2[rec_lo + skip:], seq_e2[rec_lo + skip:]
             n = min(len(seq_s), len(seq_s2))
             name_s, name_e = name_s[:n], name_e[:n]
             seq_s, seq_e = seq_s[:n], seq_e[:n]

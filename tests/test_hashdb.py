@@ -75,3 +75,20 @@ def test_high_load_two_choice():
     hi, lo = u64.from_np64(km)
     got = probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices, hi, lo)
     np.testing.assert_array_equal(np.asarray(got), labels.astype(np.int32))
+
+
+def test_probe_np_matches_device():
+    db, km, labels = _rand_db(3000)
+    got = db.probe_np(km)
+    np.testing.assert_array_equal(got, labels.astype(np.int32))
+    rng = np.random.default_rng(1)
+    misses = rng.integers(0, 1 << 60, size=1000, dtype=np.uint64)
+    misses = misses[~np.isin(misses, km)]
+    assert (db.probe_np(misses) == 0).all()
+
+
+def test_verify_catches_corruption():
+    db, km, labels = _rand_db(500)
+    db.table[db.table[:, -1] > 0] = 0  # wipe some label slots
+    with pytest.raises(AssertionError):
+        db.verify(km, labels, sample=None)

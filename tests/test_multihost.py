@@ -50,3 +50,34 @@ def test_fasta_partition(num_hosts):
 def test_more_hosts_than_records():
     buf = np.frombuffer(b"@a\nACGT\n+\nIIII\n@b\nGGGG\n+\nIIII\n", np.uint8)
     _check_partition(buf, 6)
+
+
+def test_cli_host_shards_concatenate(tmp_path):
+    """Per-host CSV shards concatenated in rank order == full CSV."""
+    import random
+
+    from cuclark_tpu.cli import main
+
+    rng = random.Random(77)
+    g = "".join(rng.choice("ACGT") for _ in range(2500))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/g.fa T1\n")
+    reads = []
+    for i in range(25):
+        pos = rng.randrange(0, 2400)
+        reads.append((f"r{i}", g[pos: pos + 90]))
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    main(["classify", "-D", str(tmp_path / "db"),
+          "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "full.csv")])
+    full = (tmp_path / "full.csv").read_text().splitlines()
+    parts = []
+    for h in range(3):
+        out = tmp_path / f"part{h}.csv"
+        main(["classify", "-D", str(tmp_path / "db"),
+              "-O", str(tmp_path / "r.fq"), "-R", str(out),
+              "--num-hosts", "3", "--host-id", str(h)])
+        parts.extend(out.read_text().splitlines()[1:])
+    assert parts == full[1:]
