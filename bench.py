@@ -36,11 +36,11 @@ def main():
     from cuclark_tpu.hashdb import build_table
     from cuclark_tpu.pipeline import classify_step
 
-    n_reads = int(os.environ.get("CUCLARK_BENCH_READS", 262144))
-    n_kmers = int(os.environ.get("CUCLARK_BENCH_KMERS", 8_000_000))
+    n_reads = int(os.environ.get("CUCLARK_BENCH_READS", 131072))
+    n_kmers = int(os.environ.get("CUCLARK_BENCH_KMERS", 4_000_000))
     read_len = int(os.environ.get("CUCLARK_BENCH_READLEN", 150))
     n_targets = int(os.environ.get("CUCLARK_BENCH_TARGETS", 1024))
-    reps = int(os.environ.get("CUCLARK_BENCH_REPS", 5))
+    reps = int(os.environ.get("CUCLARK_BENCH_REPS", 3))
     chunk = int(os.environ.get("CUCLARK_BENCH_CHUNK", 16384))
     k = 31
     n_reads = (n_reads // chunk) * chunk or chunk

@@ -212,7 +212,7 @@ class Classifier:
 
         if self.stream_parts > 1:
             group = []
-            for pb in packed():
+            for pb in _prefetch(packed()):
                 group.append(pb)
                 if len(group) >= self.cfg.stream_group:
                     yield from self._classify_group_streaming(group, paired)
@@ -227,7 +227,7 @@ class Classifier:
         # transfers overlap device compute (the reference's pipeline
         # scheduler role, src/CuCLARK_hh.hh:1738-1761)
         inflight = deque()
-        for codes, names, lengths, cnt in packed():
+        for codes, names, lengths, cnt in _prefetch(packed()):
             out = self._device_step(codes)  # async dispatch
             inflight.append((out[0], out[1], names, lengths, cnt))
             if len(inflight) > 3:
@@ -353,6 +353,38 @@ class Classifier:
             self._emit(*inflight, paired=paired) if inflight is not None else iter(())
         )
         return (out[0], out[1], rb.names, rb.lengths, rb.count), prev_rows
+
+
+def _prefetch(gen, depth: int = 2):
+    """Run a generator in a background thread with a bounded queue.
+
+    The packer's hot loops (numpy/native) release the GIL, so scanning
+    and packing batch i+1 genuinely overlaps device compute and CSV
+    formatting of batch i — the role of the reference's OpenMP batch
+    threads (src/CuCLARK_hh.hh:1609-1763)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _read_file_bytes(path) -> np.ndarray:
