@@ -170,4 +170,78 @@ int64_t kmer_bound(int64_t n, int32_t k, int32_t gap) {
     return (n - k + 1) / gap + 1;
 }
 
+// ---- two-choice bucketed-cuckoo table construction ----
+// Exact counterparts of hashdb.mix1/mix2 (murmur3 fmix32 math).
+
+static inline uint32_t fmix(uint32_t h) {
+    h ^= h >> 16;
+    h *= 0x85EBCA6Bu;
+    h ^= h >> 13;
+    h *= 0xC2B2AE35u;
+    h ^= h >> 16;
+    return h;
+}
+static inline uint32_t mix1(uint32_t hi, uint32_t lo) {
+    return fmix(lo ^ (hi * 0x9E3779B9u));
+}
+static inline uint32_t mix2(uint32_t hi, uint32_t lo) {
+    return fmix(hi ^ (lo * 0x85EBCA6Bu) ^ 0x5BD1E995u);
+}
+
+// Build the [NB, S] planar key/label arrays (caller pre-fills keys with
+// the EMPTY sentinel 0xFFFFFFFF and labels with 0).  Greedy two-choice
+// insert with bounded random-walk eviction.  Returns 0 on success, -1
+// if the table is effectively full (caller grows nb_bits and retries).
+int64_t build_cuckoo(const uint64_t* kmers, const uint32_t* labels,
+                     int64_t n, int32_t nb_bits, int32_t slots,
+                     int32_t num_choices,
+                     uint32_t* keys_lo, uint32_t* keys_hi, uint32_t* labs,
+                     uint8_t* occ, int64_t max_kicks) {
+    const uint32_t mask = (uint32_t)((1ull << nb_bits) - 1);
+    const int S = slots;
+    uint64_t rng = 0x5EEDC0FFEEull;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t km = kmers[i];
+        uint32_t lb = labels[i];
+        for (int64_t kick = 0; kick <= max_kicks; kick++) {
+            uint32_t lo = (uint32_t)km, hi = (uint32_t)(km >> 32);
+            uint32_t b1 = mix1(hi, lo) & mask;
+            uint32_t b = b1;
+            if (kick > 0 && num_choices == 2 && (kick & 1))
+                b = mix2(hi, lo) & mask;
+            if (occ[b] < S) {
+                int64_t idx = (int64_t)b * S + occ[b];
+                keys_lo[idx] = lo; keys_hi[idx] = hi; labs[idx] = lb;
+                occ[b]++;
+                goto placed;
+            }
+            if (num_choices == 2 && kick == 0) {
+                uint32_t b2 = mix2(hi, lo) & mask;
+                if (occ[b2] < S) {
+                    int64_t idx = (int64_t)b2 * S + occ[b2];
+                    keys_lo[idx] = lo; keys_hi[idx] = hi; labs[idx] = lb;
+                    occ[b2]++;
+                    goto placed;
+                }
+            }
+            if (num_choices == 1) return -1;  // single-choice: no eviction
+            // evict a random victim from bucket b and continue with it
+            rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17;
+            {
+                int s = (int)(rng % (uint64_t)S);
+                int64_t idx = (int64_t)b * S + s;
+                uint64_t ev = ((uint64_t)keys_hi[idx] << 32) | keys_lo[idx];
+                uint32_t evlb = labs[idx];
+                keys_lo[idx] = (uint32_t)km;
+                keys_hi[idx] = (uint32_t)(km >> 32);
+                labs[idx] = lb;
+                km = ev; lb = evlb;
+            }
+        }
+        return -1;  // kick budget exhausted
+      placed:;
+    }
+    return 0;
+}
+
 }  // extern "C"

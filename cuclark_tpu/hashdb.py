@@ -219,6 +219,25 @@ def build_table(
 
 
 def _try_build(kmers, labels, target_names, cfg, nb_bits):
+    from cuclark_tpu import native
+
+    if native.available():
+        built = native.build_cuckoo(kmers, labels, nb_bits, cfg.slots,
+                                    cfg.num_choices)
+        if built is None:
+            return None
+        keys_lo, keys_hi, labs = built
+        table = np.concatenate([keys_lo, keys_hi, labs], axis=1)
+        return KmerDB(
+            k=cfg.k, slots=cfg.slots, num_choices=cfg.num_choices,
+            nb_bits=nb_bits, target_names=list(target_names),
+            table=np.ascontiguousarray(table, np.uint32),
+            num_kmers=len(kmers), gap=cfg.gap,
+        )
+    return _try_build_np(kmers, labels, target_names, cfg, nb_bits)
+
+
+def _try_build_np(kmers, labels, target_names, cfg, nb_bits):
     S = cfg.slots
     nb = 1 << nb_bits
     mask = _M32(nb - 1)

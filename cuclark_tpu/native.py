@@ -59,6 +59,14 @@ def _build() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int64), _U64P]
     lib.kmer_bound.restype = ctypes.c_int64
     lib.kmer_bound.argtypes = [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    lib.build_cuckoo.restype = ctypes.c_int64
+    lib.build_cuckoo.argtypes = [
+        _U64P, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        _U8P, ctypes.c_int64]
     return lib
 
 
@@ -148,3 +156,26 @@ def extract_canonical_light(seq: bytes | np.ndarray, k: int, gap: int,
     cnt = lib.extract_canonical_light(buf, len(buf), k, gap,
                                       ctypes.byref(it), out)
     return out[:cnt], it.value
+
+
+def build_cuckoo(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,
+                 slots: int, num_choices: int, max_kicks: int = 500):
+    """Two-choice cuckoo table build (C++ insert loop).
+
+    Returns (keys_lo, keys_hi, labs) as [NB, S] uint32 arrays, or None
+    on overflow (caller grows the table)."""
+    lib = _lib()
+    nb = 1 << nb_bits
+    keys_lo = np.full((nb, slots), 0xFFFFFFFF, dtype=np.uint32)
+    keys_hi = np.full((nb, slots), 0xFFFFFFFF, dtype=np.uint32)
+    labs = np.zeros((nb, slots), dtype=np.uint32)
+    occ = np.zeros(nb, dtype=np.uint8)
+    rc = lib.build_cuckoo(
+        np.ascontiguousarray(kmers, np.uint64),
+        np.ascontiguousarray(labels, np.uint32),
+        len(kmers), nb_bits, slots, num_choices,
+        keys_lo, keys_hi, labs, occ, max_kicks,
+    )
+    if rc != 0:
+        return None
+    return keys_lo, keys_hi, labs
