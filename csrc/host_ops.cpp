@@ -244,4 +244,41 @@ int64_t build_cuckoo(const uint64_t* kmers, const uint32_t* labels,
     return 0;
 }
 
+// ---- CLARK CSV row formatting ----
+// Exact row format of printExtendedResultsSynced (normal mode),
+// src/CuCLARK_hh.hh:2127-2135: "%s,%u,%g,%s,%u,%s,%u,%g\n" with the
+// read name truncated to OBJECTNAMEMAX-1 = 39 chars.
+
+#include <cstdio>
+
+int64_t format_rows(int64_t n,
+                    const int64_t* norm, const double* gamma,
+                    const int32_t* ibest, const int32_t* best,
+                    const int32_t* isecond, const int32_t* second,
+                    const double* conf,
+                    const uint8_t* buf,
+                    const int64_t* name_s, const int64_t* name_e,
+                    const uint8_t* tnames, const int64_t* tname_off,
+                    char* out, int64_t cap) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t nl = name_e[i] - name_s[i];
+        if (nl > 39) nl = 39;
+        int64_t t1 = ibest[i], t2 = isecond[i];
+        int tl1 = (int)(tname_off[t1 + 1] - tname_off[t1]);
+        int tl2 = (int)(tname_off[t2 + 1] - tname_off[t2]);
+        if (w + nl + tl1 + tl2 + 128 > cap) return -1;
+        int m = snprintf(out + w, cap - w,
+                         "%.*s,%lld,%g,%.*s,%d,%.*s,%d,%g\n",
+                         (int)nl, (const char*)(buf + name_s[i]),
+                         (long long)norm[i], gamma[i],
+                         tl1, (const char*)(tnames + tname_off[t1]), best[i],
+                         tl2, (const char*)(tnames + tname_off[t2]), second[i],
+                         conf[i]);
+        if (m < 0) return -1;
+        w += m;
+    }
+    return w;
+}
+
 }  // extern "C"

@@ -127,28 +127,16 @@ def cmd_classify(args) -> int:
 
     for path, paired_path, out_path in jobs:
         t0 = time.time()
-        n = 0
-
-        def _counted(it):
-            nonlocal n
-            for r in it:
-                n += 1
-                yield r
-
         skip = 0
         if args.resume:
             skip = _count_csv_rows(out_path)
-        rows = _counted(clf.classify_file(path, paired_path, skip=skip,
-                                          num_hosts=args.num_hosts,
-                                          host_id=args.host_id))
-        if skip:
-            print(f"Resuming after {skip} already-classified reads.",
-                  file=sys.stderr)
-            _append_results(out_path, rows, db.target_names,
-                            extended=args.extended)
-        else:
-            write_results(out_path, rows, db.target_names,
-                          extended=args.extended)
+            if skip:
+                print(f"Resuming after {skip} already-classified reads.",
+                      file=sys.stderr)
+        n = clf.classify_file_to_csv(
+            path, out_path, paired_path, skip=skip,
+            num_hosts=args.num_hosts, host_id=args.host_id,
+            append=bool(skip))
         n += skip
         dt = time.time() - t0
         # reference prints objects/min (src/CuCLARK_hh.hh:1940-1943)
@@ -187,6 +175,7 @@ def cmd_abundance(args) -> int:
 
     counts: dict[str, int] = {}
     total = 0
+    min_conf = args.min_confidence
     with open(args.results) as f:
         reader = _csv.reader(f)
         header = next(reader)
@@ -195,13 +184,18 @@ def cmd_abundance(args) -> int:
         except ValueError:
             print("not a cuclark result CSV", file=sys.stderr)
             return 1
+        conf_col = header.index("confidence") if "confidence" in header else None
         for row in reader:
             if not row:
                 continue
             t = row[col]
+            # low-confidence assignments are counted as unclassified,
+            # like CLARK's estimate_abundance -c filter
+            if (min_conf > 0 and conf_col is not None and t != "NA"
+                    and float(row[conf_col]) < min_conf):
+                t = "NA"
             counts[t] = counts.get(t, 0) + 1
             total += 1
-    min_conf = args.min_confidence
     print("Name,Count,Proportion_All(%)")
     for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
         print(f"{name},{c},{100.0 * c / total:.4f}")
@@ -336,6 +330,9 @@ def main(argv=None) -> int:
                    help="query-time bucket sampling factor [1]")
     c.add_argument("-b", "--batch", type=int, default=16384,
                    help="reads per device batch [16384]")
+    c.add_argument("-n", "--threads", type=int, default=1,
+                   help="accepted for reference CLI compatibility; host "
+                        "packing already overlaps device compute")
     c.add_argument("--extended", action="store_true",
                    help="emit dense per-target hit columns")
     c.add_argument("--max-table-mb", type=float, default=None,

@@ -67,6 +67,13 @@ def _build() -> ctypes.CDLL | None:
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         _U8P, ctypes.c_int64]
+    _F64P = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.format_rows.restype = ctypes.c_int64
+    lib.format_rows.argtypes = [
+        ctypes.c_int64, _I64P, _F64P, _I32P, _I32P, _I32P, _I32P, _F64P,
+        _U8P, _I64P, _I64P, _U8P, _I64P,
+        ctypes.c_char_p, ctypes.c_int64]
     return lib
 
 
@@ -156,6 +163,43 @@ def extract_canonical_light(seq: bytes | np.ndarray, k: int, gap: int,
     cnt = lib.extract_canonical_light(buf, len(buf), k, gap,
                                       ctypes.byref(it), out)
     return out[:cnt], it.value
+
+
+def pack_target_names(target_names) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate target names into (bytes, offsets) for format_rows."""
+    blobs = [n.encode("ascii", "replace") for n in target_names]
+    offs = np.zeros(len(blobs) + 1, np.int64)
+    offs[1:] = np.cumsum([len(b) for b in blobs])
+    return np.frombuffer(b"".join(blobs), np.uint8).copy(), offs
+
+
+def format_rows(norm, gamma, ibest, best, isecond, second, conf,
+                buf, name_s, name_e, tname_bytes, tname_off) -> bytes:
+    """CLARK CSV rows for one batch via the native printf formatter."""
+    lib = _lib()
+    n = len(norm)
+    name_s = np.ascontiguousarray(name_s, np.int64)
+    name_e = np.ascontiguousarray(name_e, np.int64)
+    cap = int(128 * n + (name_e - name_s).sum() + 64)
+    out = ctypes.create_string_buffer(cap)
+    w = lib.format_rows(
+        n,
+        np.ascontiguousarray(norm, np.int64),
+        np.ascontiguousarray(gamma, np.float64),
+        np.ascontiguousarray(ibest, np.int32),
+        np.ascontiguousarray(best, np.int32),
+        np.ascontiguousarray(isecond, np.int32),
+        np.ascontiguousarray(second, np.int32),
+        np.ascontiguousarray(conf, np.float64),
+        np.ascontiguousarray(buf, np.uint8),
+        name_s, name_e,
+        np.ascontiguousarray(tname_bytes, np.uint8),
+        np.ascontiguousarray(tname_off, np.int64),
+        out, cap,
+    )
+    if w < 0:
+        raise RuntimeError("format_rows buffer overflow")
+    return out.raw[:w]
 
 
 def build_cuckoo(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,

@@ -143,16 +143,9 @@ class Classifier:
 
     # ---------- file fast path ----------
 
-    def classify_file(self, path, paired_path=None, skip: int = 0,
-                      num_hosts: int = 1, host_id: int = 0):
-        """Yield result rows for a whole FASTA/FASTQ file (optionally a
-        paired mate file merged with a joining N).
-
-        skip: number of leading records to skip (resume support).
-        num_hosts/host_id: process only this host's record shard
-        (multi-host data parallelism; shards concatenate in rank order).
-        """
-        from cuclark_tpu.io import fast_parse, fasta
+    def _scan_for_classify(self, path, paired_path, skip, num_hosts, host_id):
+        """Scan + shard + align a classify job's input file(s)."""
+        from cuclark_tpu.io import fast_parse
 
         buf = _read_file_bytes(path)
         rec_lo = 0
@@ -184,30 +177,54 @@ class Classifier:
             seq_s, seq_e = seq_s[:n], seq_e[:n]
             seq_s2, seq_e2 = seq_s2[:n], seq_e2[:n]
         else:
-            buf2 = None
+            buf2, seq_s2, seq_e2 = None, None, None
+        return buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2
 
+    def _packed_batches(self, buf, buf2, name_s, name_e, seq_s, seq_e,
+                        seq_s2, seq_e2):
+        """Yield (codes, (ns, ne), lengths, cnt) batches."""
+        from cuclark_tpu.io import fast_parse
+
+        paired = buf2 is not None
+        B = self.cfg.batch_reads
+        for lo in range(0, len(seq_s), B):
+            hi = min(lo + B, len(seq_s))
+            cnt = hi - lo
+            codes1, len1 = fast_parse.pack_block_dispatch(
+                buf, seq_s[lo:hi], seq_e[lo:hi],
+                self._bin_for_range(
+                    buf, seq_s[lo:hi], seq_e[lo:hi], buf2,
+                    None if buf2 is None else seq_s2[lo:hi],
+                    None if buf2 is None else seq_e2[lo:hi]),
+                n_rows=cnt,
+            )
+            if paired:
+                codes, lengths = _merge_paired(
+                    codes1, len1, buf2, seq_s2[lo:hi], seq_e2[lo:hi],
+                    codes1.shape[1])
+            else:
+                codes, lengths = codes1, len1
+            yield codes, (name_s[lo:hi], name_e[lo:hi]), lengths, cnt
+
+    def classify_file(self, path, paired_path=None, skip: int = 0,
+                      num_hosts: int = 1, host_id: int = 0):
+        """Yield result rows for a whole FASTA/FASTQ file (optionally a
+        paired mate file merged with a joining N).
+
+        skip: number of leading records to skip (resume support).
+        num_hosts/host_id: process only this host's record shard
+        (multi-host data parallelism; shards concatenate in rank order).
+        """
+        from cuclark_tpu.io import fast_parse
+
+        buf, buf2, *scan = self._scan_for_classify(
+            path, paired_path, skip, num_hosts, host_id)
         paired = buf2 is not None
 
         def packed():
-            B = self.cfg.batch_reads
-            for lo in range(0, len(seq_s), B):
-                hi = min(lo + B, len(seq_s))
-                cnt = hi - lo
-                codes1, len1 = fast_parse.pack_block_dispatch(
-                    buf, seq_s[lo:hi], seq_e[lo:hi],
-                    self._bin_for_range(
-                        buf, seq_s[lo:hi], seq_e[lo:hi], buf2,
-                        None if buf2 is None else seq_s2[lo:hi],
-                        None if buf2 is None else seq_e2[lo:hi]),
-                    n_rows=cnt,
-                )
-                if paired:
-                    codes, lengths = _merge_paired(
-                        codes1, len1, buf2, seq_s2[lo:hi], seq_e2[lo:hi],
-                        codes1.shape[1])
-                else:
-                    codes, lengths = codes1, len1
-                names = fast_parse.names_of(buf, name_s[lo:hi], name_e[lo:hi])
+            for codes, (ns, ne), lengths, cnt in self._packed_batches(
+                    buf, buf2, *scan):
+                names = fast_parse.names_of(buf, ns, ne)
                 yield codes, names, lengths, cnt
 
         if self.stream_parts > 1:
@@ -234,6 +251,77 @@ class Classifier:
                 yield from self._emit(*inflight.popleft(), paired=paired)
         while inflight:
             yield from self._emit(*inflight.popleft(), paired=paired)
+
+    def classify_file_to_csv(self, path, out_path, paired_path=None,
+                             skip: int = 0, num_hosts: int = 1,
+                             host_id: int = 0, append: bool = False) -> int:
+        """Classify a file straight into a CLARK CSV using the native
+        row formatter — the fast path for the CLI.  Falls back to the
+        per-row dict path when the native module or the resident-table
+        mode is unavailable.  Returns the number of reads written."""
+        from cuclark_tpu import native
+        from cuclark_tpu.io.csv_out import HEADER_TAIL, write_results
+
+        if (not native.available() or self.stream_parts > 1
+                or self.cfg.extended):
+            rows = self.classify_file(path, paired_path, skip=skip,
+                                      num_hosts=num_hosts, host_id=host_id)
+            n = 0
+
+            def counted(it):
+                nonlocal n
+                for r in it:
+                    n += 1
+                    yield r
+
+            if append:
+                from cuclark_tpu.io.csv_out import format_row
+
+                with open(out_path, "a") as f:
+                    for row in counted(rows):
+                        f.write(format_row(row, self.db.target_names,
+                                           self.cfg.extended))
+            else:
+                write_results(out_path, counted(rows), self.db.target_names,
+                              extended=self.cfg.extended)
+            return n
+
+        from collections import deque
+
+        buf, buf2, *scan = self._scan_for_classify(
+            path, paired_path, skip, num_hosts, host_id)
+        paired = buf2 is not None
+        tname_bytes, tname_off = native.pack_target_names(self.db.target_names)
+        total_rows = 0
+
+        with open(out_path, "ab" if append else "wb") as f:
+            if not append:
+                f.write((",".join(["Object_ID"] + HEADER_TAIL) + "\n").encode())
+            inflight = deque()
+
+            def flush_one():
+                nonlocal total_rows
+                out, ns, ne, lengths, cnt = inflight.popleft()
+                results = np.asarray(out[0])
+                total, ibest, best, isecond, second = (
+                    results[:, i] for i in range(5))
+                norm, gamma, conf = score.gamma_confidence(
+                    total, best, second, lengths, self.db.k, paired)
+                f.write(native.format_rows(
+                    norm[:cnt], gamma[:cnt], ibest[:cnt], best[:cnt],
+                    isecond[:cnt], second[:cnt], conf[:cnt],
+                    buf, ns[:cnt], ne[:cnt], tname_bytes, tname_off))
+                total_rows += cnt
+
+            for codes, (ns, ne), lengths, cnt in _prefetch(
+                    self._packed_batches(buf, buf2, *scan)):
+                out = self._device_step(codes)
+                inflight.append((out, ns, ne, lengths, cnt))
+                if len(inflight) > 3:
+                    flush_one()
+            while inflight:
+                flush_one()
+        return total_rows
 
     def _classify_group_streaming(self, group, paired: bool):
         """Stream DB parts over a group of packed batches (the reference

@@ -135,3 +135,41 @@ def test_classify_file_paired_matches_merged(tmp_path):
               for (n, s1), (_, s2) in zip(r1, r2)]
     via_records = list(clf.classify_records(iter(merged), paired=True))
     assert via_file == via_records
+
+
+def test_fast_csv_path_byte_identical(tmp_path):
+    import random
+
+    from cuclark_tpu import native
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+    from cuclark_tpu.io.csv_out import write_results
+    from cuclark_tpu.pipeline import Classifier
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native module")
+
+    rng = random.Random(13)
+    g = "".join(rng.choice("ACGT") for _ in range(3000))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    db = build_db([(str(tmp_path / "g.fa"), "Tgt_1")], DBConfig(k=21))
+    reads = []
+    for i in range(50):
+        pos = rng.randrange(0, 2800)
+        # include junk reads and a very long name with spaces
+        seq = (g[pos: pos + 120] if i % 5 else
+               "".join(rng.choice("ACGT") for _ in range(120)))
+        reads.append((f"averyveryveryverylongreadname_number_{i:04d}", seq))
+    fq = tmp_path / "r.fq"
+    fq.write_text("".join(
+        f"@{n} comment here\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+
+    clf = Classifier(db, ClassifyConfig(batch_reads=16))
+    fast = tmp_path / "fast.csv"
+    n = clf.classify_file_to_csv(fq, fast)
+    assert n == len(reads)
+    slow = tmp_path / "slow.csv"
+    write_results(slow, clf.classify_file(fq), db.target_names)
+    assert fast.read_bytes() == slow.read_bytes()
