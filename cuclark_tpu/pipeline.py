@@ -180,6 +180,11 @@ class Classifier:
             buf2, seq_s2, seq_e2 = None, None, None
         return buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2
 
+    # Device-memory guard: batch_rows x padded_length is capped so a
+    # stretch of very long reads (nanopore-scale) shrinks the batch
+    # instead of exploding the padded code matrix / label arrays.
+    MAX_BATCH_CELLS = 16384 * 1024
+
     def _packed_batches(self, buf, buf2, name_s, name_e, seq_s, seq_e,
                         seq_s2, seq_e2):
         """Yield (codes, (ns, ne), lengths, cnt) batches."""
@@ -187,8 +192,19 @@ class Classifier:
 
         paired = buf2 is not None
         B = self.cfg.batch_reads
-        for lo in range(0, len(seq_s), B):
-            hi = min(lo + B, len(seq_s))
+        raw_len = (seq_e - seq_s)
+        if paired:
+            raw_len = raw_len + (seq_e2 - seq_s2) + 1
+        lo = 0
+        n_rec = len(seq_s)
+        while lo < n_rec:
+            hi = min(lo + B, n_rec)
+            # shrink the batch while its padded bin would blow the cell cap
+            while hi - lo > 1:
+                bin_len = self._bin_for(int(raw_len[lo:hi].max(initial=1)))
+                if (hi - lo) * bin_len <= self.MAX_BATCH_CELLS:
+                    break
+                hi = lo + max(1, self.MAX_BATCH_CELLS // bin_len)
             cnt = hi - lo
             codes1, len1 = fast_parse.pack_block_dispatch(
                 buf, seq_s[lo:hi], seq_e[lo:hi],
@@ -205,6 +221,7 @@ class Classifier:
             else:
                 codes, lengths = codes1, len1
             yield codes, (name_s[lo:hi], name_e[lo:hi]), lengths, cnt
+            lo = hi
 
     def classify_file(self, path, paired_path=None, skip: int = 0,
                       num_hosts: int = 1, host_id: int = 0):

@@ -7,12 +7,11 @@ with a dense, branch-free reduction that maps onto the VPU:
 
 Per read, the window labels are sorted (an independent bitonic sort per
 row — ideal VPU shape), runs of equal labels are counted at their run
-ends with a cummax trick, and the best target is the max over run ends
-of the packed key (count << 16) | (65535 - label).  The packing
-reproduces the reference's tie-breaking exactly: resultKernel scans
-targets in ascending index order with strict '>', so ties keep the
-smaller target index — our packed key prefers larger count, then
-smaller label.
+ends with a cummax trick, and the best target is found as (max count,
+then smallest label among count-ties) in two reduction passes.  That
+ordering reproduces the reference's tie-breaking exactly: resultKernel
+scans targets in ascending index order with strict '>', so ties keep
+the smaller target index.  No packing limits — any read length.
 """
 
 from __future__ import annotations
@@ -36,8 +35,6 @@ def score_labels(labels):
     all-pairs compare, and no [R, P, P] intermediate.
     """
     R, P = labels.shape
-    if P > 32767:
-        raise ValueError("read too long for packed scoring (P > 32767)")
     hit = labels > 0
 
     s = jnp.sort(labels, axis=-1)                           # [R, P] ascending
@@ -52,20 +49,18 @@ def score_labels(labels):
     # start index of each element's run, propagated right via cummax
     run_start = jax.lax.cummax(jnp.where(first, idx, -1), axis=1)
     count = idx - run_start + 1                             # valid at run ends
+    is_run = last & (s > 0)
 
-    packed = (count << 16) | (_LBL_MAX - s)
-    cand = jnp.where(last & (s > 0), packed, -1)
+    def top(mask):
+        """(max count, smallest label among count-ties) over runs in mask."""
+        c = jnp.max(jnp.where(mask, count, 0), axis=-1)
+        tie = mask & (count == c[:, None])
+        lab = jnp.min(jnp.where(tie, s, _LBL_MAX + 1), axis=-1)
+        lab = jnp.where(c > 0, lab, 0)
+        return c, lab
 
-    best_packed = jnp.max(cand, axis=-1)                    # [R]
-    has_best = best_packed >= 0
-    best = jnp.where(has_best, best_packed >> 16, 0)
-    index_best = jnp.where(has_best, _LBL_MAX - (best_packed & _LBL_MAX), 0)
-
-    cand2 = jnp.where(s != index_best[:, None], cand, -1)
-    second_packed = jnp.max(cand2, axis=-1)
-    has_second = second_packed >= 0
-    second = jnp.where(has_second, second_packed >> 16, 0)
-    index_second = jnp.where(has_second, _LBL_MAX - (second_packed & _LBL_MAX), 0)
+    best, index_best = top(is_run)
+    second, index_second = top(is_run & (s != index_best[:, None]))
 
     total = jnp.sum(hit.astype(jnp.int32), axis=-1)
     return jnp.stack([total, index_best, best, index_second, second], axis=-1)

@@ -87,3 +87,21 @@ def test_read_of_all_ns(db):
     d, _, _ = db
     row = _classify_one(d, b"N" * 80)
     assert row["total"] == 0 and row["index_best"] == 0
+
+
+def test_long_reads_shrink_batches(db, tmp_path):
+    d, odb, seqs = db
+    # one 40kb read among short ones must not break classification
+    long_read = (seqs[1] * 16)[:40000]
+    p = tmp_path / "mix.fa"
+    recs = [f">long\n{long_read}\n"]
+    for i in range(5):
+        recs.append(f">s{i}\n{seqs[2][i*100:(i*100)+120]}\n")
+    p.write_text("".join(recs))
+    clf = Classifier(d, ClassifyConfig(batch_reads=512))
+    rows = list(clf.classify_file(p))
+    assert [r["name"] for r in rows] == ["long", "s0", "s1", "s2", "s3", "s4"]
+    want = oracle.classify_read(long_read, odb, 21, d.num_targets)
+    got = rows[0]
+    assert (got["total"], got["index_best"], got["best"]) == want[:3]
+    assert all(r["index_best"] == 2 for r in rows[1:])
