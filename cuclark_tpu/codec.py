@@ -99,6 +99,54 @@ def canonical(pair, k: int):
     return u64.min_(pair, revcomp(pair, k))
 
 
+def pack_codes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a uint8 code matrix [R, L] (values 0..3 or INVALID) into the
+    wire format shipped host->device:
+
+      packed2: uint8 [R, Lp/4]  — 4 bases/byte, little-endian 2-bit
+      vbits:   uint8 [R, Lp/8]  — validity bitmask, little-endian
+
+    where Lp = L rounded up to a multiple of 8 (pad positions pack as
+    INVALID, i.e. valid bit 0), so the unpacked length is always
+    recoverable from the shapes alone (Lp = 4*packed2.shape[-1]).
+
+    The reference ships reads to the GPU as 4-nt/byte containers for the
+    same reason (src/CuCLARK_hh.hh:1630-1716): interconnect bytes are the
+    scarce resource.  INVALID positions pack an arbitrary 2-bit value and
+    a 0 valid bit; unpack_codes restores INVALID exactly.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    R, L = codes.shape
+    Lp = -(-L // 8) * 8
+    if Lp != L:
+        pad = np.full((R, Lp - L), INVALID, np.uint8)
+        codes = np.concatenate([codes, pad], axis=1)
+    c2 = (codes & 3).reshape(R, -1, 4)
+    packed2 = (c2[:, :, 0] | (c2[:, :, 1] << 2) | (c2[:, :, 2] << 4)
+               | (c2[:, :, 3] << 6)).astype(np.uint8)
+    vbits = np.packbits(codes < INVALID, axis=1, bitorder="little")
+    return packed2, vbits
+
+
+def unpack_codes(packed2, vbits, L: int | None = None):
+    """Device-side inverse of pack_codes -> int32 codes [R, L].
+
+    L defaults to the full padded length 4*packed2.shape[-1]; padding
+    positions unpack to INVALID, so downstream k-mer windows over them
+    are masked out exactly like host-side INVALID padding."""
+    if L is None:
+        L = 4 * packed2.shape[-1]
+    p = packed2.astype(jnp.int32)                       # [R, L/4]
+    shifts = jnp.arange(4, dtype=jnp.int32) * 2
+    c = (p[:, :, None] >> shifts[None, None, :]) & 3    # [R, L/4, 4]
+    c = c.reshape(p.shape[0], -1)[:, :L]
+    v = vbits.astype(jnp.int32)                         # [R, L/8]
+    bits = jnp.arange(8, dtype=jnp.int32)
+    val = (v[:, :, None] >> bits[None, None, :]) & 1    # [R, L/8, 8]
+    val = val.reshape(v.shape[0], -1)[:, :L]
+    return jnp.where(val == 1, c, INVALID)
+
+
 def _shift_left_positions(x, n: int):
     """x[..., p] -> x[..., p + n], zero-padded at the tail."""
     if n == 0:

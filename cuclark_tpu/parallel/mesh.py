@@ -55,13 +55,17 @@ def shard_db_table(db: KmerDB, mesh: Mesh):
 
 def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
                            num_choices: int, nb_total: int):
-    """Returns a jitted fn (table, codes) -> (results [R,5], labels [R,P])
-    with table sharded on 'db' and codes/results sharded on 'data'."""
+    """Returns a jitted fn (table, packed2, vbits) -> (results [R,5],
+    labels [R,P]) with table sharded on 'db' and reads/results sharded
+    on 'data'.  Reads arrive in the 2-bit wire format (codec.pack_codes)
+    and unpack on-chip — host->chip bytes are the scarce resource, as in
+    the reference's u16 read containers (src/CuCLARK_hh.hh:1630-1716)."""
     num_db = mesh.shape["db"]
     nb_local = nb_total // num_db
 
-    def local_step(table, codes):
-        # codes: [R_local, L]; table: [nb_local, 3S]
+    def local_step(table, packed2, vbits):
+        # packed2: [R_local, L/4]; vbits: [R_local, L/8]; table: [nb_local, 3S]
+        codes = codec.unpack_codes(packed2, vbits)
         (khi, klo), valid = codec.extract_kmers(codes, k)
         chi, clo = codec.canonical((khi, klo), k)
         start = jax.lax.axis_index("db").astype(jnp.int32) * nb_local
@@ -75,7 +79,7 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
     shardd = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("db", None), P("data", None)),
+        in_specs=(P("db", None), P("data", None), P("data", None)),
         out_specs=(P("data", None), P("data", None)),
         check_vma=False,
     )
@@ -107,6 +111,8 @@ class ShardedClassifier:
             pad = num_data - R % num_data
             codes = np.pad(codes, ((0, pad), (0, 0)),
                            constant_values=codec.INVALID)
-        dev_codes = jax.device_put(codes, self._codes_sharding)
-        results, labels = self._step(self.table, dev_codes)
+        packed2, vbits = codec.pack_codes(codes)
+        dev_p2 = jax.device_put(packed2, self._codes_sharding)
+        dev_vb = jax.device_put(vbits, self._codes_sharding)
+        results, labels = self._step(self.table, dev_p2, dev_vb)
         return np.asarray(results)[:R], np.asarray(labels)[:R]

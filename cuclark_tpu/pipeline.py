@@ -55,17 +55,38 @@ def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "nb_bits", "slots", "num_choices", "with_labels")
+)
+def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
+                         num_choices, with_labels=True):
+    """classify_step on the 2-bit wire format (codec.pack_codes): the
+    host ships 4 bases/byte + a validity bitmask — 6.25x fewer
+    host->device bytes than uint8 codes, the same reason the reference
+    ships packed u16 containers (src/CuCLARK_hh.hh:1630-1716) — and the
+    device unpacks with a handful of VPU shifts."""
+    codes = codec.unpack_codes(packed2, vbits)
+    (khi, klo), valid = codec.extract_kmers(codes, k)
+    chi, clo = codec.canonical((khi, klo), k)
+    labels = probe(table, nb_bits, slots, num_choices, chi, clo)
+    labels = jnp.where(valid, labels, 0)
+    results = score.score_labels(labels)
+    return (results, labels) if with_labels else (results, None)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("k", "nb_bits", "slots", "num_choices", "nb_local"),
 )
-def probe_part_step(table_part, codes, bucket_start, *, k, nb_bits, slots,
-                    num_choices, nb_local):
-    """Probe one DB bucket-range part: codes [R, L] -> labels [R, P].
+def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
+                    slots, num_choices, nb_local):
+    """Probe one DB bucket-range part: packed codes [R, L/4] -> labels
+    [R, P].
 
     The single-chip analog of one reference swap cycle's queryKernel
     pass over a DB part (src/CuClarkDB.cu:813-858 swapDbParts +
     :1045-1243); partial label arrays merge by addition because every
     k-mer lives in at most one part."""
+    codes = codec.unpack_codes(packed2, vbits)
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
     labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
@@ -131,9 +152,11 @@ class Classifier:
 
     def _device_step(self, codes: np.ndarray):
         db = self.db
-        return classify_step(
+        packed2, vbits = codec.pack_codes(codes)
+        return classify_step_packed(
             self.table,
-            jnp.asarray(codes),
+            jnp.asarray(packed2),
+            jnp.asarray(vbits),
             k=db.k,
             nb_bits=db.nb_bits,
             slots=db.slots,
@@ -347,13 +370,16 @@ class Classifier:
         db = self.db
         P = self.stream_parts
         rows = db.nb // P
-        acc = [np.zeros((c.shape[0], c.shape[1] - db.k + 1), np.int32)
+        # pack + transfer each batch once; only DB parts restream per cycle
+        dev = [tuple(jnp.asarray(a) for a in codec.pack_codes(c))
                for c, _, _, _ in group]
+        acc = [np.zeros((p2.shape[0], 4 * p2.shape[1] - db.k + 1), np.int32)
+               for p2, _ in dev]
         for p in range(P):
             part = jnp.asarray(self.np_table[p * rows:(p + 1) * rows])
-            for gi, (codes, _, _, _) in enumerate(group):
+            for gi, (p2, vb) in enumerate(dev):
                 lab = probe_part_step(
-                    part, jnp.asarray(codes), jnp.int32(p * rows),
+                    part, p2, vb, jnp.int32(p * rows),
                     k=db.k, nb_bits=db.nb_bits, slots=db.slots,
                     num_choices=db.num_choices, nb_local=rows,
                 )

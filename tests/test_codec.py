@@ -84,3 +84,44 @@ def test_extract_kmers_forward_values():
     for p in range(len(s) - k + 1):
         assert fwd[p] == oracle.kmer_value(s[p:p + k])
         assert np.asarray(valid)[0, p]
+
+
+@pytest.mark.parametrize("L", [7, 8, 100, 128, 256])
+def test_pack_unpack_roundtrip(L):
+    rng = np.random.default_rng(L)
+    codes = rng.integers(0, 5, size=(13, L)).astype(np.uint8)  # incl INVALID
+    packed2, vbits = codec.pack_codes(codes)
+    Lp = -(-L // 8) * 8
+    assert packed2.shape == (13, Lp // 4)
+    assert vbits.shape == (13, Lp // 8)
+    back = np.asarray(codec.unpack_codes(jnp.asarray(packed2),
+                                         jnp.asarray(vbits)))
+    assert back.shape == (13, Lp)
+    np.testing.assert_array_equal(back[:, :L], codes)
+    # padding positions restore as INVALID
+    assert (back[:, L:] == codec.INVALID).all()
+
+
+def test_packed_classify_matches_unpacked():
+    from cuclark_tpu.config import DBConfig
+    from cuclark_tpu.hashdb import build_table
+    from cuclark_tpu.pipeline import classify_step, classify_step_packed
+
+    k = 27
+    rng = np.random.default_rng(0)
+    km = np.unique(rng.integers(0, 1 << (2 * k - 2), size=512,
+                                dtype=np.uint64))
+    km = np.unique(codec.canonical_np(km, k))
+    labels = rng.integers(1, 9, size=len(km)).astype(np.uint32)
+    db = build_table(km, labels, ["NA"] + [f"T{i}" for i in range(1, 9)],
+                     DBConfig(k=k, slots=4))
+    codes = rng.integers(0, 5, size=(32, 96)).astype(np.uint8)
+    table = jnp.asarray(db.table)
+    kw = dict(k=db.k, nb_bits=db.nb_bits, slots=db.slots,
+              num_choices=db.num_choices)
+    res_u, lab_u = classify_step(table, jnp.asarray(codes), **kw)
+    p2, vb = codec.pack_codes(codes)
+    res_p, lab_p = classify_step_packed(table, jnp.asarray(p2),
+                                        jnp.asarray(vb), **kw)
+    np.testing.assert_array_equal(np.asarray(res_u), np.asarray(res_p))
+    np.testing.assert_array_equal(np.asarray(lab_u), np.asarray(lab_p))
