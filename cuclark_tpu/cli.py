@@ -104,7 +104,13 @@ def cmd_classify(args) -> int:
     cfg = ClassifyConfig(batch_reads=args.batch, extended=args.extended,
                          sample_factor=args.sfactor,
                          max_table_mb=args.max_table_mb)
-    clf = Classifier(db, cfg)
+    mesh = _choose_mesh(args.devices, db, args.max_table_mb)
+    if mesh is not None:
+        print(f" - Mesh: {mesh.shape['data']} data x {mesh.shape['db']} db "
+              f"devices", file=sys.stderr)
+        cfg = ClassifyConfig(batch_reads=args.batch, extended=args.extended,
+                             sample_factor=args.sfactor, max_table_mb=None)
+    clf = Classifier(db, cfg, mesh=mesh)
 
     jobs = []  # (path, paired_path, out_path)
     if args.paired:
@@ -149,6 +155,36 @@ def cmd_classify(args) -> int:
         profile_cm.__exit__(None, None, None)
         print(f" - Profiler trace in {args.profile}", file=sys.stderr)
     return 0
+
+
+def _choose_mesh(devices: int, db, max_table_mb):
+    """Pick a (data x db) device mesh for classify (-d flag analog,
+    src/main.cc '-d <number of GPU devices>').
+
+    devices: 0 = all available, 1 = single-device (no mesh), N = first N.
+    The db axis grows (powers of two) only while the per-device table
+    shard exceeds the memory budget; remaining devices go to the data
+    axis — reads shard instead of being replicated to every device as
+    the reference does (src/CuClarkDB.cu:886-895)."""
+    if devices == 1:
+        return None
+    import jax
+
+    avail = jax.device_count()
+    n = avail if devices in (0, None) else min(devices, avail)
+    # largest power of two <= n keeps both axes power-of-two (nb % db == 0)
+    n = 1 << (n.bit_length() - 1)
+    if n < 2:
+        return None
+    from cuclark_tpu.parallel.mesh import make_mesh
+
+    num_db = 1
+    if max_table_mb is not None:
+        budget = max_table_mb * 1e6
+        while db.table.nbytes / num_db > budget and num_db * 2 <= n:
+            num_db *= 2
+    return make_mesh(num_db=num_db, num_data=n // num_db,
+                     devices=jax.devices()[:n])
 
 
 def _count_csv_rows(path) -> int:
@@ -330,6 +366,11 @@ def main(argv=None) -> int:
                    help="query-time bucket sampling factor [1]")
     c.add_argument("-b", "--batch", type=int, default=16384,
                    help="reads per device batch [16384]")
+    c.add_argument("-d", "--devices", type=int, default=1,
+                   help="number of TPU devices to use; 0 = all available "
+                        "(reads shard over a data axis, DB bucket ranges "
+                        "over a db axis when the table exceeds "
+                        "--max-table-mb) [1]")
     c.add_argument("-n", "--threads", type=int, default=1,
                    help="accepted for reference CLI compatibility; host "
                         "packing already overlaps device compute")

@@ -54,12 +54,15 @@ def shard_db_table(db: KmerDB, mesh: Mesh):
 
 
 def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
-                           num_choices: int, nb_total: int):
+                           num_choices: int, nb_total: int,
+                           with_labels: bool = True):
     """Returns a jitted fn (table, packed2, vbits) -> (results [R,5],
     labels [R,P]) with table sharded on 'db' and reads/results sharded
     on 'data'.  Reads arrive in the 2-bit wire format (codec.pack_codes)
     and unpack on-chip — host->chip bytes are the scarce resource, as in
-    the reference's u16 read containers (src/CuCLARK_hh.hh:1630-1716)."""
+    the reference's u16 read containers (src/CuCLARK_hh.hh:1630-1716).
+    with_labels=False skips materializing the per-window label matrix
+    (only extended output needs it)."""
     num_db = mesh.shape["db"]
     nb_local = nb_total // num_db
 
@@ -74,13 +77,16 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
         labels = jnp.where(valid, labels, 0)
         # exact merge: every k-mer matches in at most one db shard
         labels = jax.lax.psum(labels, "db")
-        return score.score_labels(labels), labels
+        results = score.score_labels(labels)
+        return (results, labels) if with_labels else (results,)
 
+    out_specs = ((P("data", None), P("data", None)) if with_labels
+                 else (P("data", None),))
     shardd = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P("db", None), P("data", None), P("data", None)),
-        out_specs=(P("data", None), P("data", None)),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(shardd)
@@ -89,9 +95,10 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
 class ShardedClassifier:
     """Mesh-parallel version of pipeline.Classifier's device step."""
 
-    def __init__(self, db: KmerDB, mesh: Mesh):
+    def __init__(self, db: KmerDB, mesh: Mesh, with_labels: bool = True):
         self.db = db
         self.mesh = mesh
+        self.with_labels = with_labels
         self.table = shard_db_table(db, mesh)
         self._step = build_sharded_classify(
             mesh,
@@ -100,19 +107,37 @@ class ShardedClassifier:
             slots=db.slots,
             num_choices=db.num_choices,
             nb_total=db.nb,
+            with_labels=with_labels,
         )
         self._codes_sharding = NamedSharding(mesh, P("data", None))
 
+    @property
+    def num_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    def step_packed(self, packed2: np.ndarray, vbits: np.ndarray):
+        """Async device step on pre-packed reads (codec.pack_codes).
+
+        Rows must be divisible by the data axis; pad with zero rows
+        (zero validity bits -> all-INVALID reads) beforehand.  Returns
+        (results, labels-or-None) as device arrays without blocking —
+        the pipeline keeps batches in flight exactly like the
+        single-chip path."""
+        dev_p2 = jax.device_put(packed2, self._codes_sharding)
+        dev_vb = jax.device_put(vbits, self._codes_sharding)
+        out = self._step(self.table, dev_p2, dev_vb)
+        return (out[0], out[1]) if self.with_labels else (out[0], None)
+
     def classify_codes(self, codes: np.ndarray):
-        """codes: [R, L] uint8, R divisible by the data axis size."""
-        num_data = self.mesh.shape["data"]
+        """codes: [R, L] uint8; blocks and returns numpy results."""
+        num_data = self.num_data
         R = codes.shape[0]
         if R % num_data:
             pad = num_data - R % num_data
             codes = np.pad(codes, ((0, pad), (0, 0)),
                            constant_values=codec.INVALID)
         packed2, vbits = codec.pack_codes(codes)
-        dev_p2 = jax.device_put(packed2, self._codes_sharding)
-        dev_vb = jax.device_put(vbits, self._codes_sharding)
-        results, labels = self._step(self.table, dev_p2, dev_vb)
+        results, labels = self.step_packed(packed2, vbits)
+        if labels is None:
+            return np.asarray(results)[:R], None
         return np.asarray(results)[:R], np.asarray(labels)[:R]

@@ -125,14 +125,27 @@ class Classifier:
     """Holds the device-resident DB and runs batched classification."""
 
     def __init__(self, db: KmerDB, cfg: ClassifyConfig | None = None,
-                 len_bins=DEFAULT_LEN_BINS):
+                 len_bins=DEFAULT_LEN_BINS, mesh=None):
         self.db = db
         self.cfg = cfg or ClassifyConfig()
         self.len_bins = tuple(sorted(len_bins))
+        self.stream_parts = 1
+        self._sharded = None
+        if mesh is not None:
+            # Multi-chip: DB bucket ranges sharded over the mesh 'db'
+            # axis, reads over 'data' (replaces the reference's per-GPU
+            # part planning + merge trees, src/CuClarkDB.cu:540-574,
+            # 929-994).  Sharding already divides the per-chip table, so
+            # host streaming is not combined with it.
+            from cuclark_tpu.parallel.mesh import ShardedClassifier
+
+            self._sharded = ShardedClassifier(
+                db, mesh, with_labels=self.cfg.extended)
+            self.table = self._sharded.table
+            return
         # DB streaming decision (reference swap-cycle analog): if the
         # table exceeds the device budget, keep it host-side and stream
         # power-of-two bucket-range parts per batch group.
-        self.stream_parts = 1
         if self.cfg.max_table_mb is not None:
             budget = self.cfg.max_table_mb * 1e6
             while (db.table.nbytes / self.stream_parts > budget
@@ -153,6 +166,14 @@ class Classifier:
     def _device_step(self, codes: np.ndarray):
         db = self.db
         packed2, vbits = codec.pack_codes(codes)
+        if self._sharded is not None:
+            nd = self._sharded.num_data
+            if packed2.shape[0] % nd:
+                pad = nd - packed2.shape[0] % nd
+                # zero validity bits -> all-INVALID padding reads
+                packed2 = np.pad(packed2, ((0, pad), (0, 0)))
+                vbits = np.pad(vbits, ((0, pad), (0, 0)))
+            return self._sharded.step_packed(packed2, vbits)
         return classify_step_packed(
             self.table,
             jnp.asarray(packed2),
@@ -342,7 +363,8 @@ class Classifier:
             def flush_one():
                 nonlocal total_rows
                 out, ns, ne, lengths, cnt = inflight.popleft()
-                results = np.asarray(out[0])
+                results = np.asarray(out[0])[:cnt]
+                lengths = lengths[:cnt]
                 total, ibest, best, isecond, second = (
                     results[:, i] for i in range(5))
                 norm, gamma, conf = score.gamma_confidence(
@@ -405,6 +427,8 @@ class Classifier:
 
     def _emit_np(self, results, labels_np, names, lengths, count,
                  paired: bool):
+        results = results[:count]  # drop mesh data-axis padding rows
+        lengths = lengths[:count]
         total, ibest, best, isecond, second = (results[:, i] for i in range(5))
         norm, gamma, conf = score.gamma_confidence(
             total, best, second, lengths, self.db.k, paired

@@ -74,3 +74,71 @@ def test_uneven_batch_padding(db, reads):
     got_res, _ = clf.classify_codes(reads[:30])  # 30 not divisible by 4
     want_res, _ = single_device_results(db, reads[:30])
     np.testing.assert_array_equal(got_res, want_res)
+
+
+def test_mesh_classifier_pipeline_matches_single(db, tmp_path):
+    """The CLI-reachable mesh path: Classifier(mesh=...) end-to-end CSV
+    equals the single-device Classifier's output."""
+    import random
+
+    from cuclark_tpu.config import ClassifyConfig
+    from cuclark_tpu.pipeline import Classifier
+
+    rng = random.Random(11)
+    reads_path = tmp_path / "reads.fa"
+    with open(reads_path, "w") as f:
+        for i in range(53):  # not divisible by any axis
+            seq = "".join(rng.choice("ACGTN" if i % 7 == 0 else "ACGT")
+                          for _ in range(rng.randint(40, 180)))
+            f.write(f">r{i}\n{seq}\n")
+
+    cfg = ClassifyConfig(batch_reads=16)
+    single = list(Classifier(db, cfg).classify_file(str(reads_path)))
+    mesh = make_mesh(num_db=2, num_data=4)
+    sharded = list(Classifier(db, cfg, mesh=mesh).classify_file(str(reads_path)))
+    assert sharded == single
+
+
+def test_mesh_classifier_extended_labels(db, tmp_path):
+    import random
+
+    from cuclark_tpu.config import ClassifyConfig
+    from cuclark_tpu.pipeline import Classifier
+
+    rng = random.Random(13)
+    reads_path = tmp_path / "reads.fa"
+    with open(reads_path, "w") as f:
+        for i in range(10):
+            seq = "".join(rng.choice("ACGT") for _ in range(100))
+            f.write(f">r{i}\n{seq}\n")
+    cfg = ClassifyConfig(batch_reads=8, extended=True)
+    single = list(Classifier(db, cfg).classify_file(str(reads_path)))
+    mesh = make_mesh(num_db=4, num_data=2)
+    sharded = list(Classifier(db, cfg, mesh=mesh).classify_file(str(reads_path)))
+    assert sharded == single
+
+
+def test_cli_devices_flag(db, tmp_path):
+    """classify -d 0 picks a mesh over all (virtual) devices and matches
+    the single-device CSV byte-for-byte."""
+    import random
+
+    from cuclark_tpu.cli import main
+    from cuclark_tpu.db_build.builder import db_name
+
+    dbdir = tmp_path / "db"
+    dbdir.mkdir()
+    db.save(dbdir / db_name(DBConfig(k=K, slots=4), db.num_targets))
+    rng = random.Random(17)
+    reads_path = tmp_path / "reads.fa"
+    with open(reads_path, "w") as f:
+        for i in range(41):
+            seq = "".join(rng.choice("ACGT") for _ in range(120))
+            f.write(f">r{i}\n{seq}\n")
+    out1 = tmp_path / "single.csv"
+    outn = tmp_path / "mesh.csv"
+    assert main(["classify", "-D", str(dbdir), "-O", str(reads_path),
+                 "-R", str(out1)]) == 0
+    assert main(["classify", "-D", str(dbdir), "-O", str(reads_path),
+                 "-R", str(outn), "-d", "0"]) == 0
+    assert outn.read_bytes() == out1.read_bytes()
