@@ -53,7 +53,8 @@ def _build_cfg(args) -> DBConfig:
             gap = DEFAULT_GAP_LIGHT
     return DBConfig(k=k, gap=gap, min_count=args.min_freq_target,
                     slots=args.slots, num_choices=args.choices,
-                    target_load=args.load)
+                    target_load=args.load,
+                    build_ram_mb=getattr(args, "build_ram_mb", 4096))
 
 
 def cmd_build_db(args) -> int:
@@ -308,6 +309,10 @@ def _add_db_args(p):
                    help="hash choices per key [2]")
     p.add_argument("--load", type=float, default=0.7,
                    help="target hash load factor [0.7]")
+    p.add_argument("--build-ram-mb", type=int, default=4096,
+                   help="host RAM budget for raw k-mer occurrences during "
+                        "DB build; larger inputs spill to disk shards and "
+                        "reduce out-of-core [4096]")
     p.add_argument("--tsk", action="store_true",
                    help="dump/resume target-specific k-mer sets "
                         "(<dbdir>/tsk) so the DB can be rebuilt without "

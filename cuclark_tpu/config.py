@@ -51,6 +51,11 @@ class DBConfig:
     slots: int = 2
     target_load: float = 0.7
     num_choices: int = 2
+    # Host-RAM budget for raw k-mer occurrences during a build; larger
+    # inputs spill to disk shards partitioned by k-mer range and reduce
+    # out-of-core (the answer to the reference's 146 GB in-RAM mother
+    # table, README.md:93-94). None = never spill.
+    build_ram_mb: int | None = 4096
 
     def __post_init__(self):
         if not (2 <= self.k <= MAXK):

@@ -142,13 +142,81 @@ def read_spectrum(path, k: int, gap: int = 1):
     return km, np.array(cnts, dtype=np.uint32)
 
 
-def collect_target_kmers(file_labels, cfg: DBConfig, progress=None):
-    """Stream genomes; return (kmers, labels, counts, target_names).
+class _SpillStore:
+    """Disk shards for out-of-core occurrence reduction.
+
+    Occurrences partition by k-mer range (top bits of the 2k-bit
+    canonical value), so every duplicate of a k-mer lands in the same
+    shard and each shard reduces independently — the external-sort
+    answer to the reference's 146 GB in-RAM mother table
+    (README.md:93-94).  Shards concatenated in order are globally
+    sorted after per-shard sorting."""
+
+    SHARD_BITS = 6  # 64 shards
+
+    def __init__(self, base_dir, k: int):
+        import tempfile
+
+        self.dir = Path(tempfile.mkdtemp(prefix="cuclark_build_",
+                                         dir=base_dir))
+        self.nshards = 1 << self.SHARD_BITS
+        self.shift = np.uint64(max(0, 2 * k - self.SHARD_BITS))
+        self._files = [None] * self.nshards
+
+    def _fh(self, s: int):
+        if self._files[s] is None:
+            self._files[s] = open(self.dir / f"shard_{s:03d}.bin", "wb")
+        return self._files[s]
+
+    def add(self, km: np.ndarray, lb: np.ndarray, ct: np.ndarray) -> None:
+        shard = (km >> self.shift).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        sk, sl, sc = km[order], lb[order], ct[order]
+        ss = shard[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        bounds = np.r_[starts, len(ss)]
+        for i, s in enumerate(ss[starts]):
+            lo, hi = bounds[i], bounds[i + 1]
+            rec = np.empty((hi - lo, 2), dtype=np.uint64)
+            rec[:, 0] = sk[lo:hi]
+            # pack label+count into the second u64 word
+            rec[:, 1] = (sl[lo:hi].astype(np.uint64) << np.uint64(32)) | sc[lo:hi]
+            self._fh(int(s)).write(rec.tobytes())
+
+    def reduce(self, min_count: int):
+        """Close shards; yield (kmers, labels, counts) per shard, reduced."""
+        for f in self._files:
+            if f is not None:
+                f.close()
+        for s in range(self.nshards):
+            p = self.dir / f"shard_{s:03d}.bin"
+            if not p.exists():
+                continue
+            rec = np.fromfile(p, dtype=np.uint64).reshape(-1, 2)
+            km = rec[:, 0]
+            lb = (rec[:, 1] >> np.uint64(32)).astype(np.uint32)
+            ct = (rec[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            yield discriminate(km, lb, min_count, ct)
+
+    def cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
+                         spill_dir=None):
+    """Stream genomes; return (kmers, labels, counts, target_names,
+    spill).
 
     target_names[0] == 'NA'; label ids are first-seen order, 1-based
     (matching the reference's first-seen target registration).
     counts are per-occurrence multiplicities (1 for sequence inputs,
-    explicit for spectrum inputs)."""
+    explicit for spectrum inputs).
+
+    When the accumulated occurrences exceed cfg.build_ram_mb, they spill
+    to a _SpillStore (returned as `spill`, with the in-RAM arrays empty);
+    the caller reduces shard by shard."""
     from cuclark_tpu import native
 
     names = ["NA"]
@@ -157,6 +225,27 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None):
     lb_chunks = []
     ct_chunks = []
     use_native = native.available()
+    limit = (None if cfg.build_ram_mb is None
+             else int(cfg.build_ram_mb * 1e6))
+    held = 0  # bytes of occurrences held in RAM (16 B each)
+    spill = None
+
+    def push(km, lid_or_lb, ct):
+        nonlocal held, spill
+        lb = (np.full(len(km), lid_or_lb, dtype=np.uint32)
+              if np.isscalar(lid_or_lb) else lid_or_lb)
+        km_chunks.append(km)
+        lb_chunks.append(lb)
+        ct_chunks.append(ct)
+        held += 16 * len(km)
+        if limit is not None and held > limit:
+            if spill is None:
+                spill = _SpillStore(spill_dir, cfg.k)
+            for a, b, c in zip(km_chunks, lb_chunks, ct_chunks):
+                spill.add(a, b, c)
+            km_chunks.clear(), lb_chunks.clear(), ct_chunks.clear()
+            held = 0
+
     for fp, label in file_labels:
         if label not in ids:
             ids[label] = len(names)
@@ -165,9 +254,7 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None):
         if is_spectrum_file(fp):
             km, ct = read_spectrum(fp, cfg.k, cfg.gap)
             if len(km):
-                km_chunks.append(km)
-                lb_chunks.append(np.full(len(km), lid, dtype=np.uint32))
-                ct_chunks.append(ct)
+                push(km, lid, ct)
             if progress:
                 progress(fp, label)
             continue
@@ -185,16 +272,21 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None):
             else:
                 km = extract_canonical_np(seq, cfg.k)
             if len(km):
-                km_chunks.append(km)
-                lb_chunks.append(np.full(len(km), lid, dtype=np.uint32))
-                ct_chunks.append(np.ones(len(km), dtype=np.uint32))
+                push(km, lid, np.ones(len(km), dtype=np.uint32))
         if progress:
             progress(fp, label)
+
+    if spill is not None:
+        for a, b, c in zip(km_chunks, lb_chunks, ct_chunks):
+            spill.add(a, b, c)
+        km_chunks.clear(), lb_chunks.clear(), ct_chunks.clear()
+        return (np.empty(0, np.uint64), np.empty(0, np.uint32),
+                np.empty(0, np.uint32), names, spill)
     if not km_chunks:
         return (np.empty(0, np.uint64), np.empty(0, np.uint32),
-                np.empty(0, np.uint32), names)
+                np.empty(0, np.uint32), names, None)
     return (np.concatenate(km_chunks), np.concatenate(lb_chunks),
-            np.concatenate(ct_chunks), names)
+            np.concatenate(ct_chunks), names, None)
 
 
 def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0,
@@ -233,10 +325,21 @@ def build_db(file_labels, cfg: DBConfig, progress=None,
     if tsk_dir is not None and (Path(tsk_dir) / "tsk.npz").exists():
         kmers, labels, names = load_tsk(tsk_dir)
         return build_table(kmers, labels, names, cfg)
-    kmers, labels, counts, names = collect_target_kmers(
-        file_labels, cfg, progress)
-    kmers, labels, counts = discriminate(kmers, labels, cfg.min_count,
-                                         counts)
+    spill_dir = str(Path(tsk_dir).parent) if tsk_dir is not None else None
+    kmers, labels, counts, names, spill = collect_target_kmers(
+        file_labels, cfg, progress, spill_dir=spill_dir)
+    if spill is not None:
+        # out-of-core: reduce each k-mer-range shard independently; the
+        # discriminative survivors are far smaller than the occurrences
+        try:
+            parts = list(spill.reduce(cfg.min_count))
+        finally:
+            spill.cleanup()
+        kmers = np.concatenate([p[0] for p in parts]) if parts else kmers
+        labels = np.concatenate([p[1] for p in parts]) if parts else labels
+    else:
+        kmers, labels, counts = discriminate(kmers, labels, cfg.min_count,
+                                             counts)
     if tsk_dir is not None:
         save_tsk(tsk_dir, kmers, labels, names)
     return build_table(kmers, labels, names, cfg)

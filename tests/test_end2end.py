@@ -139,3 +139,28 @@ def test_min_count_filter():
     np.testing.assert_array_equal(uk, [5])
     np.testing.assert_array_equal(ul, [1])
     np.testing.assert_array_equal(uc, [2])
+
+
+def test_spill_build_matches_in_ram(tmp_path):
+    """Out-of-core (disk-shard) build must produce the identical DB as
+    the in-RAM path: same discriminative k-mer set, labels, and table."""
+    import random
+
+    import dataclasses
+
+    rng = random.Random(23)
+    file_labels = []
+    for t in range(3):
+        p = tmp_path / f"g{t}.fa"
+        seq = "".join(rng.choice("ACGT") for _ in range(4000))
+        p.write_text(f">g{t}\n{seq}\n")
+        file_labels.append((str(p), f"T{t}"))
+    cfg = DBConfig(k=21, build_ram_mb=None)
+    db_ram = build_db(file_labels, cfg)
+    # zero budget: every pushed chunk spills to the disk shards
+    cfg_spill = dataclasses.replace(cfg, build_ram_mb=0)
+    db_spill = build_db(file_labels, cfg_spill)
+    assert db_spill.num_kmers == db_ram.num_kmers
+    assert db_spill.target_names == db_ram.target_names
+    import numpy as np
+    np.testing.assert_array_equal(db_spill.table, db_ram.table)
