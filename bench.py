@@ -34,7 +34,7 @@ def main():
     from cuclark_tpu import codec
     from cuclark_tpu.config import DBConfig
     from cuclark_tpu.hashdb import build_table
-    from cuclark_tpu.pipeline import classify_step
+    from cuclark_tpu.pipeline import classify_step_packed
 
     n_reads = int(os.environ.get("CUCLARK_BENCH_READS", 131072))
     n_kmers = int(os.environ.get("CUCLARK_BENCH_KMERS", 4_000_000))
@@ -65,17 +65,20 @@ def main():
     codes = genome[starts[:, None] + np.arange(read_len)[None, :]]
 
     table = jnp.asarray(db.table)
-    dev_chunks = [jnp.asarray(codes[i: i + chunk])
+    # the production wire format: 2-bit packed codes + validity bitmask
+    dev_chunks = [tuple(jnp.asarray(a)
+                        for a in codec.pack_codes(codes[i: i + chunk]))
                   for i in range(0, n_reads, chunk)]
 
     def run():
         # scalar checksum forces real execution of every chunk; a bare
         # block_until_ready can return early through the remote relay
         acc = jnp.int32(0)
-        for c in dev_chunks:
-            results, _ = classify_step(
-                table, c, k=db.k, nb_bits=db.nb_bits,
+        for p2, vb in dev_chunks:
+            results, _ = classify_step_packed(
+                table, p2, vb, k=db.k, nb_bits=db.nb_bits,
                 slots=db.slots, num_choices=db.num_choices,
+                with_labels=False,
             )
             acc = acc + results[:, 0].sum() % 97
         return float(np.asarray(acc))

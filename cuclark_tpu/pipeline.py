@@ -328,11 +328,17 @@ class Classifier:
             rows = self.classify_file(path, paired_path, skip=skip,
                                       num_hosts=num_hosts, host_id=host_id)
             n = 0
+            hmin, hmax, hsum = None, 0, 0
 
             def counted(it):
-                nonlocal n
+                nonlocal n, hmin, hmax, hsum
                 for r in it:
                     n += 1
+                    if "target_counts" in r:
+                        h = len(r["target_counts"])
+                        hmin = h if hmin is None else min(hmin, h)
+                        hmax = max(hmax, h)
+                        hsum += h
                     yield r
 
             if append:
@@ -345,6 +351,12 @@ class Classifier:
             else:
                 write_results(out_path, counted(rows), self.db.target_names,
                               extended=self.cfg.extended)
+            if self.cfg.extended and n:
+                # reference extended-mode hit stats (CuCLARK_hh.hh:2075-2080)
+                import sys
+
+                print(f"MIN targets: {hmin or 0}, MAX targets: {hmax}, "
+                      f"AVG targets: {hsum / n:g}", file=sys.stderr)
             return n
 
         from collections import deque
