@@ -115,7 +115,14 @@ def cmd_classify(args) -> int:
 
     jobs = []  # (path, paired_path, out_path)
     if args.paired:
-        jobs.append((args.paired[0], args.paired[1], args.results))
+        # paired list mode (src/CuCLARK_hh.hh:482-506): -P may name two
+        # lists of mate files with -R a matching list of result paths
+        triples = fasta.parse_paired_file_lists(
+            args.paired[0], args.paired[1], args.results)
+        if triples is None:
+            jobs.append((args.paired[0], args.paired[1], args.results))
+        else:
+            jobs.extend(triples)
     else:
         pairs = fasta.parse_file_list(args.objects)
         if pairs is None:

@@ -131,6 +131,45 @@ def pack_block(buf: np.ndarray, seq_s, seq_e, max_len: int,
     return codes, full_lengths
 
 
+def first_mate_mismatch(buf1, ns1, ne1, buf2, ns2, ne2) -> int:
+    """Vectorized mate-id validation for the file fast path.
+
+    Names (already cut at space/tab by the scan) are further cut at '/'
+    — the reference merger's separator set (src/file.cc:210-214) — and
+    compared row by row.  Returns the index of the first mismatching
+    record, or -1 if all match."""
+    n = min(len(ns1), len(ns2))
+    if n == 0:
+        return -1
+
+    def id_matrix(buf, s, e):
+        s = np.asarray(s[:n], np.int64)
+        e = np.asarray(e[:n], np.int64)
+        ln = e - s
+        L = int(ln.max(initial=1))
+        pos = s[:, None] + np.arange(L)[None, :]
+        m = buf[np.minimum(pos, len(buf) - 1)]
+        valid = np.arange(L)[None, :] < ln[:, None]
+        m = np.where(valid, m, 0)
+        # cut at the first '/' per row
+        slash = m == ord("/")
+        idlen = np.where(slash.any(axis=1), slash.argmax(axis=1), ln)
+        m = np.where(np.arange(L)[None, :] < idlen[:, None], m, 0)
+        return m, idlen
+
+    m1, l1 = id_matrix(buf1, ns1, ne1)
+    m2, l2 = id_matrix(buf2, ns2, ne2)
+    L = max(m1.shape[1], m2.shape[1])
+    if m1.shape[1] < L:
+        m1 = np.pad(m1, ((0, 0), (0, L - m1.shape[1])))
+    if m2.shape[1] < L:
+        m2 = np.pad(m2, ((0, 0), (0, L - m2.shape[1])))
+    ok = (l1 == l2) & (m1 == m2).all(axis=1)
+    if ok.all():
+        return -1
+    return int(np.flatnonzero(~ok)[0])
+
+
 def names_of(buf: np.ndarray, name_s, name_e) -> list[str]:
     b = buf.tobytes()
     return [b[s:e].decode("ascii", "replace") for s, e in zip(name_s, name_e)]

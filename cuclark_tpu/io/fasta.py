@@ -86,16 +86,73 @@ def read_records(path):
                 yield _name_of(header[1:].rstrip(b"\r\n")), seq
 
 
-def read_paired_records(path1, path2):
-    """Yield (name, seq1 + b'N' + seq2) — mergePairedFiles semantics.
+def mate_id(name: str) -> str:
+    """The read-pair identity token: the name cut at the first of
+    ' ', '/', '\\t' — the separator set the reference merger splits
+    headers on before comparing mates (src/file.cc:210-214, 239-244),
+    so 'read1/1' and 'read1/2' are the same pair."""
+    for sep in (" ", "/", "\t"):
+        idx = name.find(sep)
+        if idx >= 0:
+            name = name[:idx]
+    return name
 
-    Mate id match is by record order, as the reference merger walks both
-    files in lockstep (src/file.cc:205-268).  Names come from file 1.
+
+def read_paired_records(path1, path2):
+    """Yield (name, seq1 + b'N' + seq2) — mergePairedFiles semantics
+    (src/file.cc:205-268): walk both files in lockstep, require the
+    mate ids to match record by record (hard error on mismatch, like
+    the reference's "read id does not match between files!"), and on
+    one file ending before the other.  Names come from file 1.
     """
+    import itertools
+
     it1 = read_records(path1)
     it2 = read_records(path2)
-    for (n1, s1), (_n2, s2) in zip(it1, it2):
+    _MISSING = object()
+    for i, (r1, r2) in enumerate(
+            itertools.zip_longest(it1, it2, fillvalue=_MISSING)):
+        if r1 is _MISSING or r2 is _MISSING:
+            short = path1 if r1 is _MISSING else path2
+            raise ValueError(
+                f"paired files have different record counts: {short} "
+                f"ends at record {i}")
+        (n1, s1), (n2, s2) = r1, r2
+        if mate_id(n1) != mate_id(n2):
+            raise ValueError(
+                f"read id does not match between files at record {i}: "
+                f"{n1!r} vs {n2!r}")
         yield n1, s1 + b"N" + s2
+
+
+def parse_paired_file_lists(path1, path2, results_path):
+    """Reference paired list mode (-P <list1> <list2> -R <list>,
+    src/CuCLARK_hh.hh:482-506): when the -P arguments are not sequence
+    files, they are lists of mate-file paths, one per line, and -R is a
+    matching list of result paths.  Returns [(r1, r2, out), ...] triples
+    (stopping at the shortest list, like the reference's lockstep
+    getline loop) or None when path1 is itself a sequence file."""
+    try:
+        sniff_format(path1)
+        return None  # plain sequence file: direct paired mode
+    except (ValueError, UnicodeDecodeError):
+        pass
+
+    def lines(p):
+        return [ln.strip() for ln in Path(p).read_text(errors="replace")
+                .splitlines() if ln.strip()]
+
+    l1, l2, lr = lines(path1), lines(path2), lines(results_path)
+    triples = list(zip(l1, l2, lr))
+    if not triples:
+        raise ValueError(
+            f"Failed to recognize the format of {path1}: not FASTA/FASTQ "
+            f"and not a list of mate files")
+    for r1, r2, _ in triples:
+        for p in (r1, r2):
+            if not Path(p).exists():
+                raise FileNotFoundError(f"paired list entry not found: {p}")
+    return triples
 
 
 def parse_file_list(path) -> list[tuple[str, str]] | None:

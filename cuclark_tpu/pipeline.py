@@ -214,7 +214,27 @@ class Classifier:
             seq_s, seq_e = seq_s[skip:], seq_e[skip:]
         if paired_path is not None:
             buf2 = _read_file_bytes(paired_path)
-            _, _, seq_s2, seq_e2 = fast_parse.scan_file(buf2)
+            ns2, ne2, seq_s2, seq_e2 = fast_parse.scan_file(buf2)
+            # mergePairedFiles parity (src/file.cc:205-268): hard error
+            # on differing record counts or mismatched mate ids instead
+            # of silently zipping by order.
+            if num_hosts == 1 and skip == 0 and len(seq_s) != len(seq_s2):
+                raise ValueError(
+                    f"paired files have different record counts: "
+                    f"{path} has {len(seq_s)}, {paired_path} has "
+                    f"{len(seq_s2)}")
+            bad = fast_parse.first_mate_mismatch(
+                buf, name_s, name_e,
+                buf2, ns2[rec_lo + skip:], ne2[rec_lo + skip:])
+            if bad >= 0:
+                n1 = buf[name_s[bad]:name_e[bad]].tobytes().decode(
+                    "ascii", "replace")
+                i2 = rec_lo + skip + bad
+                n2 = buf2[ns2[i2]:ne2[i2]].tobytes().decode(
+                    "ascii", "replace")
+                raise ValueError(
+                    f"read id does not match between files at record "
+                    f"{i2}: {n1!r} vs {n2!r}")
             seq_s2, seq_e2 = seq_s2[rec_lo + skip:], seq_e2[rec_lo + skip:]
             n = min(len(seq_s), len(seq_s2))
             name_s, name_e = name_s[:n], name_e[:n]
