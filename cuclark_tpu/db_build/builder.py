@@ -79,10 +79,12 @@ def extract_canonical_light_np(seq: bytes | np.ndarray, k: int, gap: int,
     return codec.canonical_np(np.concatenate(out), k), it
 
 
-def parse_targets_file(path) -> list[tuple[str, str]]:
+def parse_targets_file(path) -> list[tuple[str, str, str | None]]:
     """targets.txt lines: '<seqfile> <label> [label2]'
-    (reference getTargetsData, src/CuCLARK_hh.hh:1794-1906).
-    Returns [(file, label)] keeping only the first label column."""
+    (reference getTargetsData parses up to 3 columns,
+    src/CuCLARK_hh.hh:1822-1850).  Returns [(file, label, label2|None)];
+    label2 is the chromosome/centromere paired label consumed by the
+    multiplicity==2 RemoveCommon path."""
     out = []
     base = Path(path).parent
     for line in Path(path).read_text().splitlines():
@@ -95,8 +97,67 @@ def parse_targets_file(path) -> list[tuple[str, str]]:
         fp = parts[0]
         if not Path(fp).exists() and (base / fp).exists():
             fp = str(base / fp)
-        out.append((fp, parts[1]))
+        out.append((fp, parts[1], parts[2] if len(parts) > 2 else None))
     return out
+
+
+def _norm_entry(entry):
+    """Accept (file, label) or (file, label, label2) target entries."""
+    if len(entry) == 2:
+        return entry[0], entry[1], None
+    return entry[0], entry[1], entry[2]
+
+
+class LabelSpace:
+    """Target-name/label-id bookkeeping, including centromere label2s.
+
+    Mirrors getTargetsData + the EHashtable ctor label maps
+    (src/CuCLARK_hh.hh:1879-1887, src/HashTableStorage_hh.hh:215-238):
+    m_targetsName = ["NA"] + label1s (first-seen order) + label2s
+    (first-seen order), so label2 ids follow all label1 ids.
+
+    sibling_class: two labels are "siblings" iff same length and equal
+    up to the last character (addElement's upLbl test,
+    src/HashTableStorage_hh.hh:509-513).  relabel maps a label1 id to
+    the id of the first label2 in declaration order that is its sibling
+    by the same test (RemoveCommon, src/HashTableStorage_hh.hh:262-283)
+    — or to itself when none matches (the reference still keeps the
+    k-mer under its original label in that case)."""
+
+    def __init__(self, file_labels):
+        entries = [_norm_entry(e) for e in file_labels]
+        self.names = ["NA"]
+        self.ids: dict[str, int] = {}
+        for _, label, _ in entries:
+            if label not in self.ids:
+                self.ids[label] = len(self.names)
+                self.names.append(label)
+        self.labels_c: list[str] = []
+        self.c_ids: dict[str, int] = {}
+        for _, _, label2 in entries:
+            if label2 is not None and label2 not in self.c_ids:
+                self.labels_c.append(label2)
+                self.c_ids[label2] = len(self.names)
+                self.names.append(label2)
+        # sibling-class id per target id (index 0 = NA, own class)
+        cls_keys: dict[tuple, int] = {}
+        self.cls = np.zeros(len(self.names), dtype=np.int64)
+        for i, name in enumerate(self.names):
+            # upLbl checks char 0 AND chars [1, len-1) — for 1-char
+            # labels that is the whole string, so no distinct siblings
+            key = (len(name), name[:-1]) if len(name) >= 2 else (1, name)
+            self.cls[i] = cls_keys.setdefault(key, len(cls_keys))
+        # relabel map for the multiplicity==2 path
+        self.relabel = np.arange(len(self.names), dtype=np.uint32)
+        for label, i in self.ids.items():
+            for c in self.labels_c:
+                if len(c) == len(label) and c[:-1] == label[:-1]:
+                    self.relabel[i] = self.c_ids[c]
+                    break
+
+    @property
+    def has_centromeres(self) -> bool:
+        return bool(self.labels_c)
 
 
 def is_spectrum_file(path) -> bool:
@@ -117,12 +178,13 @@ def is_spectrum_file(path) -> bool:
         return False
 
 
-def read_spectrum(path, k: int, gap: int = 1):
+def read_spectrum(path, k: int, gap: int = 1, min_count: int = 0):
     """Parse a spectrum file -> (canonical kmers u64, counts u32).
 
-    Light mode keeps every gap-th line (the reference applies
-    `counter % iterKmers` to spectrum entries too,
-    src/CuCLARK_hh.hh:868)."""
+    Light mode keeps every gap-th line, and entries at or below
+    min_count are dropped BEFORE the table — both per the reference's
+    insert condition `counter % iterKmers == 0 && val > minCount`
+    (src/CuCLARK_hh.hh:868)."""
     kms, cnts = [], []
     with open(path) as f:
         for i, line in enumerate(f):
@@ -136,6 +198,8 @@ def read_spectrum(path, k: int, gap: int = 1):
             if len(parts[0]) != k:
                 raise ValueError(
                     f"spectrum k-mer length {len(parts[0])} != k={k}")
+            if int(parts[1]) <= min_count:
+                continue
             kms.append(codec.string_to_kmer(parts[0]))
             cnts.append(int(parts[1]))
     km = codec.canonical_np(np.array(kms, dtype=np.uint64), k)
@@ -183,7 +247,7 @@ class _SpillStore:
             rec[:, 1] = (sl[lo:hi].astype(np.uint64) << np.uint64(32)) | sc[lo:hi]
             self._fh(int(s)).write(rec.tobytes())
 
-    def reduce(self, min_count: int):
+    def reduce(self, min_count: int, label_space=None):
         """Close shards; yield (kmers, labels, counts) per shard, reduced."""
         for f in self._files:
             if f is not None:
@@ -196,7 +260,7 @@ class _SpillStore:
             km = rec[:, 0]
             lb = (rec[:, 1] >> np.uint64(32)).astype(np.uint32)
             ct = (rec[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            yield discriminate(km, lb, min_count, ct)
+            yield discriminate(km, lb, min_count, ct, label_space)
 
     def cleanup(self) -> None:
         import shutil
@@ -206,21 +270,21 @@ class _SpillStore:
 
 def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
                          spill_dir=None):
-    """Stream genomes; return (kmers, labels, counts, target_names,
+    """Stream genomes; return (kmers, labels, counts, label_space,
     spill).
 
-    target_names[0] == 'NA'; label ids are first-seen order, 1-based
-    (matching the reference's first-seen target registration).
-    counts are per-occurrence multiplicities (1 for sequence inputs,
-    explicit for spectrum inputs).
+    label_space.names[0] == 'NA'; label ids are first-seen order,
+    1-based, with centromere label2 ids after all label1 ids (matching
+    getTargetsData, src/CuCLARK_hh.hh:1879-1887).  counts are
+    per-occurrence multiplicities (1 for sequence inputs, explicit for
+    spectrum inputs).
 
     When the accumulated occurrences exceed cfg.build_ram_mb, they spill
     to a _SpillStore (returned as `spill`, with the in-RAM arrays empty);
     the caller reduces shard by shard."""
     from cuclark_tpu import native
 
-    names = ["NA"]
-    ids: dict[str, int] = {}
+    space = LabelSpace(file_labels)
     km_chunks = []
     lb_chunks = []
     ct_chunks = []
@@ -246,13 +310,11 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
             km_chunks.clear(), lb_chunks.clear(), ct_chunks.clear()
             held = 0
 
-    for fp, label in file_labels:
-        if label not in ids:
-            ids[label] = len(names)
-            names.append(label)
-        lid = ids[label]
+    for entry in file_labels:
+        fp, label, _label2 = _norm_entry(entry)
+        lid = space.ids[label]
         if is_spectrum_file(fp):
-            km, ct = read_spectrum(fp, cfg.k, cfg.gap)
+            km, ct = read_spectrum(fp, cfg.k, cfg.gap, cfg.min_count)
             if len(km):
                 push(km, lid, ct)
             if progress:
@@ -281,21 +343,38 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
             spill.add(a, b, c)
         km_chunks.clear(), lb_chunks.clear(), ct_chunks.clear()
         return (np.empty(0, np.uint64), np.empty(0, np.uint32),
-                np.empty(0, np.uint32), names, spill)
+                np.empty(0, np.uint32), space, spill)
     if not km_chunks:
         return (np.empty(0, np.uint64), np.empty(0, np.uint32),
-                np.empty(0, np.uint32), names, None)
+                np.empty(0, np.uint32), space, None)
     return (np.concatenate(km_chunks), np.concatenate(lb_chunks),
-            np.concatenate(ct_chunks), names, None)
+            np.concatenate(ct_chunks), space, None)
 
 
 def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0,
-                 counts: np.ndarray | None = None):
+                 counts: np.ndarray | None = None,
+                 label_space: "LabelSpace | None" = None):
     """Keep k-mers occurring in exactly one target (RemoveCommon
-    semantics) with occurrence count >= min_count (reference -t).
+    semantics, src/HashTableStorage_hh.hh:242-292) with occurrence
+    count strictly greater than min_count (reference -t filter is
+    `GetCount() > _minCount`).
 
     counts: optional per-occurrence multiplicities (spectrum inputs
     carry explicit counts); defaults to 1 each.
+
+    label_space: when it declares centromere label2s, reproduce the
+    reference multiplicity bookkeeping exactly (addElement,
+    src/HashTableStorage_hh.hh:483-523): the k-mer keeps its FIRST-seen
+    label L0; each later occurrence adds +0 if its label == L0, +1 if a
+    sibling of L0 (same length, equal up to the last char), +2
+    otherwise, starting from multiplicity 1.  multiplicity==1 k-mers
+    are specific; multiplicity==2 k-mers (one extra occurrence in one
+    sibling target) are ALSO kept, relabeled to the matching label2
+    when one exists (RemoveCommon:262-283 marks them regardless and
+    relabels only on a prefix match).
+
+    Occurrence order matters for L0; callers append occurrences in
+    stream order and the stable k-mer sort preserves it per run.
 
     Returns (unique_kmers u64, labels u32, counts u32)."""
     if len(kmers) == 0:
@@ -304,16 +383,37 @@ def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0,
     sk = kmers[order]
     sl = labels[order]
     starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-    lmin = np.minimum.reduceat(sl, starts)
-    lmax = np.maximum.reduceat(sl, starts)
+    runlen = np.diff(np.r_[starts, len(sk)])
+    first = sl[starts]  # first-seen label per k-mer (stable sort)
     if counts is None:
-        cnt = np.diff(np.r_[starts, len(sk)]).astype(np.uint32)
+        cnt = runlen.astype(np.uint32)
     else:
         cnt = np.add.reduceat(counts[order].astype(np.uint64), starts)
         cnt = np.minimum(cnt, 0xFFFFFFFF).astype(np.uint32)
+
+    if label_space is not None and label_space.has_centromeres:
+        run_id = np.cumsum(np.r_[False, sk[1:] != sk[:-1]])
+        l0 = first[run_id]
+        cls = label_space.cls
+        inc = np.where(sl == l0, 0,
+                       np.where(cls[sl] == cls[l0], 1, 2)).astype(np.int64)
+        mult = 1 + np.add.reduceat(inc, starts)
+        mult = np.minimum(mult, 255)
+        keep1 = mult == 1
+        keep2 = mult == 2
+        if min_count > 0:
+            passing = cnt > min_count
+            keep1 &= passing
+            keep2 &= passing
+        out_label = np.where(keep2, label_space.relabel[first], first)
+        keep = keep1 | keep2
+        return sk[starts[keep]], out_label[keep].astype(np.uint32), cnt[keep]
+
+    lmin = np.minimum.reduceat(sl, starts)
+    lmax = np.maximum.reduceat(sl, starts)
     specific = lmin == lmax
-    if min_count > 1:
-        specific &= cnt >= min_count
+    if min_count > 0:
+        specific &= cnt > min_count
     return sk[starts[specific]], lmin[specific], cnt[specific]
 
 
@@ -326,23 +426,23 @@ def build_db(file_labels, cfg: DBConfig, progress=None,
         kmers, labels, names = load_tsk(tsk_dir)
         return build_table(kmers, labels, names, cfg)
     spill_dir = str(Path(tsk_dir).parent) if tsk_dir is not None else None
-    kmers, labels, counts, names, spill = collect_target_kmers(
+    kmers, labels, counts, space, spill = collect_target_kmers(
         file_labels, cfg, progress, spill_dir=spill_dir)
     if spill is not None:
         # out-of-core: reduce each k-mer-range shard independently; the
         # discriminative survivors are far smaller than the occurrences
         try:
-            parts = list(spill.reduce(cfg.min_count))
+            parts = list(spill.reduce(cfg.min_count, space))
         finally:
             spill.cleanup()
         kmers = np.concatenate([p[0] for p in parts]) if parts else kmers
         labels = np.concatenate([p[1] for p in parts]) if parts else labels
     else:
         kmers, labels, counts = discriminate(kmers, labels, cfg.min_count,
-                                             counts)
+                                             counts, space)
     if tsk_dir is not None:
-        save_tsk(tsk_dir, kmers, labels, names)
-    return build_table(kmers, labels, names, cfg)
+        save_tsk(tsk_dir, kmers, labels, space.names)
+    return build_table(kmers, labels, space.names, cfg)
 
 
 def save_tsk(tsk_dir, kmers, labels, names) -> None:

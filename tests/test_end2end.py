@@ -131,14 +131,19 @@ def test_paired_join_semantics(setup):
 
 
 def test_min_count_filter():
-    # a k-mer occurring twice in one target survives min_count=2
+    # reference -t is STRICT: keep k-mers with count > min_count
+    # (RemoveCommon `GetCount() > _minCount`,
+    # src/HashTableStorage_hh.hh:256)
     kmers = np.array([5, 5, 9, 12, 12, 12], dtype=np.uint64)
     labels = np.array([1, 1, 2, 1, 2, 1], dtype=np.uint32)
-    uk, ul, uc = discriminate(kmers, labels, min_count=2)
-    # kmer 12 spans two targets -> dropped; 9 count=1 -> dropped; 5 kept
+    uk, ul, uc = discriminate(kmers, labels, min_count=1)
+    # kmer 12 spans two targets -> dropped; 9 count=1 -> dropped (not >1);
+    # 5 count=2 > 1 -> kept
     np.testing.assert_array_equal(uk, [5])
     np.testing.assert_array_equal(ul, [1])
     np.testing.assert_array_equal(uc, [2])
+    uk2, _, _ = discriminate(kmers, labels, min_count=2)
+    assert len(uk2) == 0  # count 2 is not > 2
 
 
 def test_spill_build_matches_in_ram(tmp_path):
