@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuclark_tpu import codec, score
 from cuclark_tpu.hashdb import KmerDB
-from cuclark_tpu.probe import probe
+from cuclark_tpu.probe import probe, spread_invalid
 
 
 def make_mesh(num_db: int, num_data: int | None = None, devices=None) -> Mesh:
@@ -71,6 +71,7 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
         codes = codec.unpack_codes(packed2, vbits)
         (khi, klo), valid = codec.extract_kmers(codes, k)
         chi, clo = codec.canonical((khi, klo), k)
+        chi, clo = spread_invalid(chi, clo, valid)
         start = jax.lax.axis_index("db").astype(jnp.int32) * nb_local
         labels = probe(table, nb_bits, slots, num_choices, chi, clo,
                        bucket_start=start, nb_local=nb_local)

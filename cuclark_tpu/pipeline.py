@@ -30,11 +30,14 @@ import numpy as np
 from cuclark_tpu import codec, score
 from cuclark_tpu.config import ClassifyConfig
 from cuclark_tpu.hashdb import KmerDB
-from cuclark_tpu.probe import probe
+from cuclark_tpu.probe import probe, spread_invalid
 
 # Length bins: a read is packed into the smallest bin holding it, so a
-# batch of short reads never pays for a rare long read.
-DEFAULT_LEN_BINS = (256, 1024, 4096, 16384)
+# batch of short reads never pays for a rare long read.  Bins are dense
+# in the short-read range because padding windows cost real gather time
+# (a 150 bp read in a 256 bin spends ~45% of its probes on padding);
+# uniform-length files compile exactly one bin.
+DEFAULT_LEN_BINS = (128, 160, 192, 256, 320, 512, 1024, 2048, 4096, 16384)
 
 
 @functools.partial(
@@ -48,6 +51,7 @@ def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
     """
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
+    chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table, nb_bits, slots, num_choices, chi, clo)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
@@ -67,6 +71,7 @@ def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
     codes = codec.unpack_codes(packed2, vbits)
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
+    chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table, nb_bits, slots, num_choices, chi, clo)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
@@ -89,6 +94,7 @@ def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
     codes = codec.unpack_codes(packed2, vbits)
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
+    chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
                    bucket_start=bucket_start, nb_local=nb_local)
     return jnp.where(valid, labels, 0)
