@@ -78,6 +78,7 @@ def main():
             results, _ = classify_step_packed(
                 table, p2, vb, k=db.k, nb_bits=db.nb_bits,
                 slots=db.slots, num_choices=db.num_choices,
+                layout=db.layout, seed=db.seed,
                 with_labels=False,
             )
             acc = acc + results[:, 0].sum() % 97

@@ -53,7 +53,7 @@ def _build_cfg(args) -> DBConfig:
             gap = DEFAULT_GAP_LIGHT
     return DBConfig(k=k, gap=gap, min_count=args.min_freq_target,
                     slots=args.slots, num_choices=args.choices,
-                    target_load=args.load,
+                    target_load=args.load, layout=args.layout,
                     build_ram_mb=getattr(args, "build_ram_mb", 4096))
 
 
@@ -289,6 +289,7 @@ def cmd_info(args) -> int:
     db = KmerDB.load(dbp)
     info = {
         "path": str(dbp),
+        "layout": db.layout,
         "k": db.k,
         "num_kmers": db.num_kmers,
         "num_targets": db.num_targets,
@@ -311,9 +312,14 @@ def _add_db_args(p):
                    help="k-mer sampling stride for DB build [1; light=4]")
     p.add_argument("--light", action="store_true",
                    help="light preset: k=27, gap=4 (cuCLARK-l)")
-    p.add_argument("--slots", type=int, default=2, help="hash bucket slots [2]")
+    p.add_argument("--layout", default="q4", choices=("q4", "s2"),
+                   help="hash table layout: q4 = quotient-compressed "
+                        "32 B rows (faster probe, ~5x less device memory); "
+                        "s2 = legacy full-key rows [q4]")
+    p.add_argument("--slots", type=int, default=2,
+                   help="hash bucket slots (s2 layout) [2]")
     p.add_argument("--choices", type=int, default=2, choices=(1, 2),
-                   help="hash choices per key [2]")
+                   help="hash choices per key (s2 layout) [2]")
     p.add_argument("--load", type=float, default=0.7,
                    help="target hash load factor [0.7]")
     p.add_argument("--build-ram-mb", type=int, default=4096,

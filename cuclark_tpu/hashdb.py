@@ -62,6 +62,34 @@ def mix2(hi, lo):
     return _fmix(hi ^ (lo * _M32(0x85EBCA6B)) ^ _M32(0x5BD1E995))
 
 
+def feistel_seed_consts(seed: int):
+    """Three u32 round constants derived from a build seed (host-side)."""
+    s = np.uint32(seed & 0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        c1 = _fmix(s * _M32(2) + _M32(0x9E3779B9))
+        c2 = _fmix(s * _M32(2) + _M32(0x85EBCA6B))
+        c3 = _fmix(s * _M32(2) + _M32(0xC2B2AE35))
+    return int(c1), int(c2), int(c3)
+
+
+def feistel_mix(hi, lo, seed: int = 0):
+    """Invertible 3-round Feistel mix of a (hi, lo) u32 k-mer pair.
+
+    The q4 layout stores only the bits of the mixed key that the bucket
+    index does not already pin (quotienting — the same storage-saving
+    idea as the reference's kmer/HTSIZE quotient-remainder split,
+    src/dataType.hh IKMER + src/CuClarkDB.cu:1264-1274, redone as a
+    bijection so 64-bit exactness survives).  Works on numpy or jnp
+    arrays (u32 wraparound arithmetic).  Returns (h1, l2): bucket1 =
+    l2 & mask, bucket2 = h1 & mask."""
+    c1, c2, c3 = feistel_seed_consts(seed)
+    with np.errstate(over="ignore"):  # u32 wrap is the point
+        l1 = lo ^ _fmix(hi + _M32(c1))
+        h1 = hi ^ _fmix(l1 + _M32(c2))
+        l2 = l1 ^ _fmix(h1 + _M32(c3))
+    return h1, l2
+
+
 def _split64(kmers: np.ndarray):
     kmers = np.asarray(kmers, dtype=np.uint64)
     hi = (kmers >> np.uint64(32)).astype(np.uint32)
@@ -71,16 +99,30 @@ def _split64(kmers: np.ndarray):
 
 @dataclasses.dataclass
 class KmerDB:
-    """An immutable, device-loadable k-mer database."""
+    """An immutable, device-loadable k-mer database.
+
+    Two table layouts:
+      "s2" (legacy): uint32 [NB, 3*S] rows = [klo x S | khi x S | lab x S],
+          full 64-bit keys stored, `num_choices` independent hashes.
+      "q4" (default): uint32 [NB, 8] rows = [other x 4 | meta x 4] with
+          meta = (quotient15 << 17) | (choice << 16) | label16.  Keys are
+          Feistel-mixed (feistel_mix) so the bucket index pins nb_bits of
+          the key and only the other word + a 15-bit quotient need
+          storing — 32 B aligned rows at C=4, half the gathered bytes
+          and ~5x less HBM per k-mer than s2, exact 64-bit compare via
+          reconstruction.  Requires 17 <= nb_bits <= 32.
+    """
 
     k: int
     slots: int
     num_choices: int
     nb_bits: int                 # NB = 1 << nb_bits buckets
     target_names: list[str]      # index 0 == "NA", 1..T real targets
-    table: np.ndarray            # uint32 [NB, 3*slots]
+    table: np.ndarray            # uint32 [NB, 3*slots] (s2) / [NB, 8] (q4)
     num_kmers: int
     gap: int = 1                 # build-time k-mer stride used
+    layout: str = "s2"
+    seed: int = 0                # q4 Feistel seed
 
     @property
     def nb(self) -> int:
@@ -101,6 +143,8 @@ class KmerDB:
             "nb_bits": self.nb_bits,
             "num_kmers": self.num_kmers,
             "gap": self.gap,
+            "layout": self.layout,
+            "seed": self.seed,
             "target_names": self.target_names,
         }
         np.savez_compressed(
@@ -128,11 +172,14 @@ class KmerDB:
             table=table,
             num_kmers=meta["num_kmers"],
             gap=meta.get("gap", 1),
+            layout=meta.get("layout", "s2"),
+            seed=meta.get("seed", 0),
         )
         if sample_factor > 1:
             keep = (np.arange(db.nb) % sample_factor) == 0
             table = db.table.copy()
-            table[~keep] = EMPTY
+            # q4 empty slots are all-zero (label 0); s2 uses the EMPTY key
+            table[~keep] = 0 if db.layout == "q4" else EMPTY
             db.table = table
         return db
 
@@ -144,6 +191,8 @@ class KmerDB:
     def probe_np(self, kmers: np.ndarray) -> np.ndarray:
         """Pure-numpy probe (debug/verification twin of probe.probe)."""
         hi, lo = _split64(np.asarray(kmers, dtype=np.uint64))
+        if self.layout == "q4":
+            return probe_np_q4(self.table, self.nb_bits, self.seed, hi, lo)
         mask = _M32(self.nb - 1)
         S = self.slots
         label = np.zeros(len(hi), dtype=np.int32)
@@ -176,10 +225,34 @@ class KmerDB:
                 f"(want {labels[i]}); {int(bad.sum())}/{len(kmers)} bad")
 
 
+def probe_np_q4(table, nb_bits: int, seed: int, hi, lo) -> np.ndarray:
+    """Numpy q4 probe: Feistel-mix, gather both choice rows, exact
+    64-bit reconstruct-compare."""
+    mask = _M32((1 << nb_bits) - 1)
+    h1, l2 = feistel_mix(hi, lo, seed)
+    b1 = (l2 & mask).astype(np.int64)
+    b2 = (h1 & mask).astype(np.int64)
+    nbb = _M32(nb_bits)
+    label = np.zeros(len(h1), dtype=np.int32)
+    for b, own, other in ((b1, l2, h1), (b2, h1, l2)):
+        choice = 0 if own is l2 else 1
+        rows = table[b]
+        meta = rows[:, 4:]
+        m = ((rows[:, :4] == other[:, None])
+             & ((meta >> _M32(17)) == (own >> nbb)[:, None])
+             & (((meta >> _M32(16)) & _M32(1)) == choice))
+        label += np.where(m, (meta & _M32(0xFFFF)).astype(np.int32), 0).sum(axis=1)
+    return label
+
+
 def choose_nb_bits(n_kmers: int, cfg: DBConfig) -> int:
     """Smallest power-of-two bucket count achieving <= target_load."""
-    need = max(1, int(np.ceil(n_kmers / (cfg.slots * cfg.target_load))))
+    slots = 4 if cfg.layout == "q4" else cfg.slots
+    need = max(1, int(np.ceil(n_kmers / (slots * cfg.target_load))))
     bits = max(4, int(np.ceil(np.log2(need))))
+    if cfg.layout == "q4":
+        # quotient must fit 15 bits: 32 - nb_bits <= 15
+        bits = max(bits, 17)
     return bits
 
 
@@ -210,12 +283,121 @@ def build_table(
         nb_bits = choose_nb_bits(n, cfg)
 
     for attempt in range(8):
-        db = _try_build(kmers, labels, target_names, cfg, nb_bits)
+        if cfg.layout == "q4":
+            db = None
+            for seed in range(4):  # fresh Feistel constants per retry
+                db = _try_build_q4(kmers, labels, target_names, cfg,
+                                   nb_bits, seed)
+                if db is not None:
+                    break
+        else:
+            db = _try_build(kmers, labels, target_names, cfg, nb_bits)
         if db is not None:
             db.verify(kmers, labels)
             return db
         nb_bits += 1  # overflow: double the table and retry
     raise RuntimeError("hash table construction failed to converge")
+
+
+def _try_build_q4(kmers, labels, target_names, cfg, nb_bits, seed):
+    """q4 layout build: Feistel-mix keys, two-choice C=4 cuckoo
+    placement, pack [other x4 | meta x4] rows."""
+    hi, lo = _split64(kmers)
+    h1, l2 = feistel_mix(hi, lo, seed)
+    mask = _M32((1 << nb_bits) - 1)
+    b1 = (l2 & mask).astype(np.int64)
+    b2 = (h1 & mask).astype(np.int64)
+    placed = _cuckoo_place(b1, b2, 1 << nb_bits, 4)
+    if placed is None:
+        return None
+    bucket, slot, choice = placed
+    nb = 1 << nb_bits
+    table = np.zeros((nb, 8), dtype=np.uint32)
+    own = np.where(choice == 0, l2, h1)
+    other = np.where(choice == 0, h1, l2)
+    meta = (((own >> _M32(nb_bits)).astype(np.uint32) << _M32(17))
+            | (choice.astype(np.uint32) << _M32(16))
+            | labels.astype(np.uint32))
+    table[bucket, slot] = other
+    table[bucket, slot + 4] = meta
+    return KmerDB(
+        k=cfg.k, slots=4, num_choices=2, nb_bits=nb_bits,
+        target_names=list(target_names), table=table,
+        num_kmers=len(kmers), gap=cfg.gap, layout="q4", seed=seed,
+    )
+
+
+def _cuckoo_place(b1, b2, nb: int, S: int):
+    """Two-choice bucketed cuckoo placement.
+
+    Returns (bucket, slot, choice) int arrays per key, or None when the
+    random-walk fails (caller grows the table / reseeds).  Bulk greedy
+    fill first (vectorized), random-walk eviction for the tail."""
+    n = len(b1)
+    occ = np.zeros(nb, dtype=np.int32)
+    bucket = np.zeros(n, dtype=np.int64)
+    slot = np.zeros(n, dtype=np.int32)
+    choice = np.zeros(n, dtype=np.uint8)
+
+    def place_bulk(idx, buckets, ch):
+        nonlocal occ
+        if len(idx) == 0:
+            return idx
+        order = np.argsort(buckets, kind="stable")
+        sidx = idx[order]
+        sbuck = buckets[order]
+        first = np.r_[True, sbuck[1:] != sbuck[:-1]]
+        run_id = np.cumsum(first) - 1
+        run_start = np.flatnonzero(first)
+        rank = np.arange(len(sbuck)) - run_start[run_id]
+        sl = occ[sbuck] + rank
+        fits = sl < S
+        pi = sidx[fits]
+        bucket[pi] = sbuck[fits]
+        slot[pi] = sl[fits]
+        choice[pi] = ch
+        occ += np.bincount(sbuck[fits], minlength=nb).astype(np.int32)
+        return sidx[~fits]
+
+    all_idx = np.arange(n)
+    rest = place_bulk(all_idx, b1[all_idx], 0)
+    if len(rest):
+        rest = place_bulk(rest, b2[rest], 1)
+
+    # slot-holder map for eviction bookkeeping
+    holder = np.full((nb, S), -1, dtype=np.int64)
+    mask_ok = np.ones(n, dtype=bool)
+    mask_ok[rest] = False
+    hb = bucket[mask_ok]
+    hs = slot[mask_ok]
+    holder[hb, hs] = np.flatnonzero(mask_ok)
+
+    rng = np.random.default_rng(0x5EED ^ nb)
+    for i in rest:
+        cur = int(i)
+        cur_choice = 0
+        for _step in range(400):
+            cb = int(b1[cur] if cur_choice == 0 else b2[cur])
+            if occ[cb] < S:
+                s = int(occ[cb])
+                bucket[cur], slot[cur], choice[cur] = cb, s, cur_choice
+                holder[cb, s] = cur
+                occ[cb] += 1
+                cur = -1
+                break
+            s = int(rng.integers(S))
+            victim = int(holder[cb, s])
+            bucket[cur], slot[cur], choice[cur] = cb, s, cur_choice
+            holder[cb, s] = cur
+            # victim re-inserts at its other choice
+            cur_choice = 1 - int(choice[victim]) if victim >= 0 else 0
+            if victim < 0:
+                cur = -1
+                break
+            cur = victim
+        if cur != -1:
+            return None
+    return bucket, slot, choice
 
 
 def _try_build(kmers, labels, target_names, cfg, nb_bits):

@@ -55,7 +55,8 @@ def shard_db_table(db: KmerDB, mesh: Mesh):
 
 def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
                            num_choices: int, nb_total: int,
-                           with_labels: bool = True):
+                           with_labels: bool = True, layout: str = "s2",
+                           seed: int = 0):
     """Returns a jitted fn (table, packed2, vbits) -> (results [R,5],
     labels [R,P]) with table sharded on 'db' and reads/results sharded
     on 'data'.  Reads arrive in the 2-bit wire format (codec.pack_codes)
@@ -74,7 +75,8 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
         chi, clo = spread_invalid(chi, clo, valid)
         start = jax.lax.axis_index("db").astype(jnp.int32) * nb_local
         labels = probe(table, nb_bits, slots, num_choices, chi, clo,
-                       bucket_start=start, nb_local=nb_local)
+                       bucket_start=start, nb_local=nb_local,
+                       layout=layout, seed=seed)
         labels = jnp.where(valid, labels, 0)
         # exact merge: every k-mer matches in at most one db shard
         labels = jax.lax.psum(labels, "db")
@@ -109,6 +111,8 @@ class ShardedClassifier:
             num_choices=db.num_choices,
             nb_total=db.nb,
             with_labels=with_labels,
+            layout=db.layout,
+            seed=db.seed,
         )
         self._codes_sharding = NamedSharding(mesh, P("data", None))
 

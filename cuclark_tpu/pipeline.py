@@ -41,10 +41,11 @@ DEFAULT_LEN_BINS = (128, 160, 192, 256, 320, 512, 1024, 2048, 4096, 16384)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nb_bits", "slots", "num_choices", "with_labels")
+    jax.jit, static_argnames=("k", "nb_bits", "slots", "num_choices",
+                              "with_labels", "layout", "seed")
 )
 def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
-                  with_labels=True):
+                  with_labels=True, layout="s2", seed=0):
     """One device step: codes [R, L] -> results [R, 5] (+ labels [R, P]).
 
     Single-chip version (sharded variant in cuclark_tpu.parallel.mesh).
@@ -52,17 +53,20 @@ def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
-    labels = probe(table, nb_bits, slots, num_choices, chi, clo)
+    labels = probe(table, nb_bits, slots, num_choices, chi, clo,
+                   layout=layout, seed=seed)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
     return (results, labels) if with_labels else (results, None)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nb_bits", "slots", "num_choices", "with_labels")
+    jax.jit, static_argnames=("k", "nb_bits", "slots", "num_choices",
+                              "with_labels", "layout", "seed")
 )
 def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
-                         num_choices, with_labels=True):
+                         num_choices, with_labels=True, layout="s2",
+                         seed=0):
     """classify_step on the 2-bit wire format (codec.pack_codes): the
     host ships 4 bases/byte + a validity bitmask — 6.25x fewer
     host->device bytes than uint8 codes, the same reason the reference
@@ -72,7 +76,8 @@ def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
-    labels = probe(table, nb_bits, slots, num_choices, chi, clo)
+    labels = probe(table, nb_bits, slots, num_choices, chi, clo,
+                   layout=layout, seed=seed)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
     return (results, labels) if with_labels else (results, None)
@@ -80,10 +85,11 @@ def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nb_bits", "slots", "num_choices", "nb_local"),
+    static_argnames=("k", "nb_bits", "slots", "num_choices", "nb_local",
+                     "layout", "seed"),
 )
 def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
-                    slots, num_choices, nb_local):
+                    slots, num_choices, nb_local, layout="s2", seed=0):
     """Probe one DB bucket-range part: packed codes [R, L/4] -> labels
     [R, P].
 
@@ -96,7 +102,8 @@ def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
-                   bucket_start=bucket_start, nb_local=nb_local)
+                   bucket_start=bucket_start, nb_local=nb_local,
+                   layout=layout, seed=seed)
     return jnp.where(valid, labels, 0)
 
 
@@ -189,6 +196,8 @@ class Classifier:
             slots=db.slots,
             num_choices=db.num_choices,
             with_labels=self.cfg.extended,
+            layout=db.layout,
+            seed=db.seed,
         )
 
     # ---------- file fast path ----------
@@ -442,6 +451,7 @@ class Classifier:
                     part, p2, vb, jnp.int32(p * rows),
                     k=db.k, nb_bits=db.nb_bits, slots=db.slots,
                     num_choices=db.num_choices, nb_local=rows,
+                    layout=db.layout, seed=db.seed,
                 )
                 acc[gi] += np.asarray(lab)
         for gi, (_, names, lengths, cnt) in enumerate(group):

@@ -45,17 +45,22 @@ def spread_invalid(chi, clo, valid):
 
 
 def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
-          bucket_start=None, nb_local: int | None = None):
+          bucket_start=None, nb_local: int | None = None,
+          layout: str = "s2", seed: int = 0):
     """Look up canonical k-mers in the (possibly sharded) table.
 
-    table:  uint32 [NB_local, 3*slots]
+    table:  uint32 [NB_local, 3*slots] ("s2") / [NB_local, 8] ("q4")
     khi/klo: uint32 [...], canonical k-mer halves
     bucket_start: starting global bucket index of this shard (traced
         scalar or None for an unsharded table).
     nb_local: number of bucket rows in `table` (static).
+    layout/seed: table layout descriptor (hashdb.KmerDB).
 
     Returns int32 labels [...]: stored 1-based target label, 0 on miss.
     """
+    if layout == "q4":
+        return _probe_q4(table, nb_bits, seed, khi, klo,
+                         bucket_start, nb_local)
     S = slots
     mask = jnp.uint32((1 << nb_bits) - 1)
     shape = khi.shape
@@ -86,4 +91,45 @@ def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
             m &= (b != b1)[:, None]
         label += jnp.sum(jnp.where(m, rows[:, 2 * S:].astype(jnp.int32), 0), axis=1)
 
+    return label.reshape(shape)
+
+
+def _probe_q4(table, nb_bits: int, seed: int, khi, klo,
+              bucket_start=None, nb_local: int | None = None):
+    """q4-layout probe: one 32 B aligned row gather per hash choice and
+    an exact 64-bit reconstruct-compare against quotient-compressed
+    entries (see hashdb.KmerDB).  Measured ~12.9 ns/probe on v5e vs
+    ~19-21 for the s2 full-key rows — aligned 32 B rows gather at the
+    platform floor and both takes pipeline (BENCHNOTES.md)."""
+    from cuclark_tpu.hashdb import feistel_mix
+
+    shape = khi.shape
+    khi_f = khi.reshape(-1)
+    klo_f = klo.reshape(-1)
+    if nb_local is None:
+        nb_local = table.shape[0]
+    mask = jnp.uint32((1 << nb_bits) - 1)
+    nbb = jnp.uint32(nb_bits)
+    one = jnp.uint32(1)
+
+    h1, l2 = feistel_mix(khi_f, klo_f, seed)
+    label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
+    for choice, own, other in ((0, l2, h1), (1, h1, l2)):
+        b = (own & mask).astype(jnp.int32)
+        if bucket_start is not None:
+            bloc = b - bucket_start
+            in_range = (bloc >= 0) & (bloc < nb_local)
+            bloc = jnp.clip(bloc, 0, nb_local - 1)
+        else:
+            bloc, in_range = b, None
+        rows = jnp.take(table, bloc, axis=0)          # [NK, 8]
+        meta = rows[:, 4:]
+        m = ((rows[:, :4] == other[:, None])
+             & ((meta >> jnp.uint32(17)) == (own >> nbb)[:, None])
+             & (((meta >> jnp.uint32(16)) & one) == choice))
+        if in_range is not None:
+            m &= in_range[:, None]
+        label += jnp.sum(
+            jnp.where(m, (meta & jnp.uint32(0xFFFF)).astype(jnp.int32), 0),
+            axis=1)
     return label.reshape(shape)

@@ -23,10 +23,12 @@ def _rand_db(n, k=31, seed=0, **kw):
 @pytest.mark.parametrize("num_choices,target_load", [(2, 0.75), (1, 0.3)])
 def test_roundtrip_all_present(num_choices, target_load):
     db, km, labels = _rand_db(
-        5000, num_choices=num_choices, target_load=target_load, slots=8
+        5000, num_choices=num_choices, target_load=target_load, slots=8,
+        layout="s2",
     )
     hi, lo = u64.from_np64(km)
-    got = probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices, hi, lo)
+    got = probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices,
+                hi, lo, layout=db.layout, seed=db.seed)
     np.testing.assert_array_equal(np.asarray(got), labels.astype(np.int32))
 
 
@@ -37,7 +39,8 @@ def test_misses_return_zero():
     present = np.isin(queries, km)
     hi, lo = u64.from_np64(queries[~present])
     got = np.asarray(
-        probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices, hi, lo)
+        probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices,
+                hi, lo, layout=db.layout, seed=db.seed)
     )
     assert (got == 0).all()
 
@@ -60,7 +63,8 @@ def test_sample_factor_drops_buckets(tmp_path):
     db2 = KmerDB.load(p, sample_factor=2)
     hi, lo = u64.from_np64(km)
     got = np.asarray(
-        probe(jnp.asarray(db2.table), db2.nb_bits, db2.slots, db2.num_choices, hi, lo)
+        probe(jnp.asarray(db2.table), db2.nb_bits, db2.slots, db2.num_choices,
+              hi, lo, layout=db2.layout, seed=db2.seed)
     )
     frac = (got > 0).mean()
     assert 0.3 < frac < 0.7  # roughly half the buckets survive
@@ -71,9 +75,10 @@ def test_sample_factor_drops_buckets(tmp_path):
 
 def test_high_load_two_choice():
     # two-choice at 0.9 load must still build and verify
-    db, km, labels = _rand_db(20000, target_load=0.9, slots=4)
+    db, km, labels = _rand_db(20000, target_load=0.9, slots=4, layout="s2")
     hi, lo = u64.from_np64(km)
-    got = probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices, hi, lo)
+    got = probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices,
+                hi, lo, layout=db.layout, seed=db.seed)
     np.testing.assert_array_equal(np.asarray(got), labels.astype(np.int32))
 
 
@@ -89,6 +94,7 @@ def test_probe_np_matches_device():
 
 def test_verify_catches_corruption():
     db, km, labels = _rand_db(500)
-    db.table[db.table[:, -1] > 0] = 0  # wipe some label slots
+    # wipe every row holding a slot-0 entry (q4: label16 in meta col 4)
+    db.table[(db.table[:, 4] & 0xFFFF) > 0] = 0
     with pytest.raises(AssertionError):
         db.verify(km, labels, sample=None)

@@ -52,7 +52,7 @@ def single_device_results(db, codes):
     results, labels = classify_step(
         jnp.asarray(db.table), jnp.asarray(codes),
         k=db.k, nb_bits=db.nb_bits, slots=db.slots,
-        num_choices=db.num_choices,
+        num_choices=db.num_choices, layout=db.layout, seed=db.seed,
     )
     return np.asarray(results), np.asarray(labels)
 
