@@ -109,9 +109,11 @@ def cmd_classify(args) -> int:
     if mesh is not None:
         print(f" - Mesh: {mesh.shape['data']} data x {mesh.shape['db']} db "
               f"devices", file=sys.stderr)
-        cfg = ClassifyConfig(batch_reads=args.batch, extended=args.extended,
-                             sample_factor=args.sfactor, max_table_mb=None)
     clf = Classifier(db, cfg, mesh=mesh)
+    if clf.stream_parts > 1:
+        # swap-cycle analog: table exceeds the (per-device) budget
+        print(f" - Streaming DB in {clf.stream_parts} bucket-range parts "
+              f"(--max-table-mb {args.max_table_mb})", file=sys.stderr)
 
     jobs = []  # (path, paired_path, out_path)
     if args.paired:

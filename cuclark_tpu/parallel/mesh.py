@@ -95,6 +95,47 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
     return jax.jit(shardd)
 
 
+def build_sharded_probe_part(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
+                             num_choices: int, nb_part: int,
+                             layout: str = "s2", seed: int = 0):
+    """Sharded analog of pipeline.probe_part_step: probe ONE bucket-range
+    DB part (itself row-sharded over the 'db' axis) against a
+    data-sharded packed batch, psum partial labels over 'db'.
+
+    Composes host streaming with the mesh exactly like the reference's
+    cycles x devices x parts planning (src/CuClarkDB.cu:540-574,
+    813-858): the global bucket space splits into parts (host-streamed)
+    x db-axis shards (resident per upload).  nb_part = rows per part;
+    each device holds nb_part/num_db rows; part_start is traced so one
+    compiled program serves every part."""
+    num_db = mesh.shape["db"]
+    if nb_part % num_db:
+        raise ValueError(f"part rows {nb_part} not divisible by db={num_db}")
+    nb_local = nb_part // num_db
+
+    def local_step(table_part, packed2, vbits, part_start):
+        codes = codec.unpack_codes(packed2, vbits)
+        (khi, klo), valid = codec.extract_kmers(codes, k)
+        chi, clo = codec.canonical((khi, klo), k)
+        chi, clo = spread_invalid(chi, clo, valid)
+        start = (part_start
+                 + jax.lax.axis_index("db").astype(jnp.int32) * nb_local)
+        labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
+                       bucket_start=start, nb_local=nb_local,
+                       layout=layout, seed=seed)
+        labels = jnp.where(valid, labels, 0)
+        return (jax.lax.psum(labels, "db"),)
+
+    shardd = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("db", None), P("data", None), P("data", None), P()),
+        out_specs=(P("data", None),),
+        check_vma=False,
+    )
+    return jax.jit(shardd)
+
+
 class ShardedClassifier:
     """Mesh-parallel version of pipeline.Classifier's device step."""
 

@@ -144,12 +144,27 @@ class Classifier:
         self.len_bins = tuple(sorted(len_bins))
         self.stream_parts = 1
         self._sharded = None
+        self.mesh = None
         if mesh is not None:
             # Multi-chip: DB bucket ranges sharded over the mesh 'db'
             # axis, reads over 'data' (replaces the reference's per-GPU
             # part planning + merge trees, src/CuClarkDB.cu:540-574,
-            # 929-994).  Sharding already divides the per-chip table, so
-            # host streaming is not combined with it.
+            # 929-994).  When the PER-DEVICE shard still exceeds the
+            # memory budget, bucket-range parts stream host->mesh per
+            # batch group — the reference's cycles x devices x parts
+            # composition (src/CuClarkDB.cu:813-858).
+            num_db = mesh.shape["db"]
+            if self.cfg.max_table_mb is not None:
+                budget = self.cfg.max_table_mb * 1e6
+                while (db.table.nbytes / num_db / self.stream_parts > budget
+                       and self.stream_parts * num_db < db.nb):
+                    self.stream_parts *= 2
+            if self.stream_parts > 1:
+                self.mesh = mesh
+                self.table = None
+                self.np_table = np.ascontiguousarray(db.table)
+                self._mesh_part_step = None  # built lazily
+                return
             from cuclark_tpu.parallel.mesh import ShardedClassifier
 
             self._sharded = ShardedClassifier(
@@ -435,17 +450,53 @@ class Classifier:
     def _classify_group_streaming(self, group, paired: bool):
         """Stream DB parts over a group of packed batches (the reference
         multi-cycle path: swap part, re-query every batch,
-        src/CuCLARK_hh.hh:1766-1774) and merge partial labels by sum."""
+        src/CuCLARK_hh.hh:1766-1774) and merge partial labels by sum.
+        With a mesh, each part is additionally row-sharded over the 'db'
+        axis and batches over 'data' (cycles x devices x parts)."""
         db = self.db
         P = self.stream_parts
         rows = db.nb // P
+        on_mesh = self.mesh is not None
+
+        def pack_dev(c):
+            p2, vb = codec.pack_codes(c)
+            if not on_mesh:
+                return jnp.asarray(p2), jnp.asarray(vb)
+            nd = self.mesh.shape["data"]
+            if p2.shape[0] % nd:
+                pad = nd - p2.shape[0] % nd
+                p2 = np.pad(p2, ((0, pad), (0, 0)))
+                vb = np.pad(vb, ((0, pad), (0, 0)))
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            sh = NamedSharding(self.mesh, Pspec("data", None))
+            return jax.device_put(p2, sh), jax.device_put(vb, sh)
+
         # pack + transfer each batch once; only DB parts restream per cycle
-        dev = [tuple(jnp.asarray(a) for a in codec.pack_codes(c))
-               for c, _, _, _ in group]
+        dev = [pack_dev(c) for c, _, _, _ in group]
         acc = [np.zeros((p2.shape[0], 4 * p2.shape[1] - db.k + 1), np.int32)
                for p2, _ in dev]
+        if on_mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            if self._mesh_part_step is None:
+                from cuclark_tpu.parallel.mesh import build_sharded_probe_part
+
+                self._mesh_part_step = build_sharded_probe_part(
+                    self.mesh, k=db.k, nb_bits=db.nb_bits, slots=db.slots,
+                    num_choices=db.num_choices, nb_part=rows,
+                    layout=db.layout, seed=db.seed)
+            part_sh = NamedSharding(self.mesh, Pspec("db", None))
         for p in range(P):
-            part = jnp.asarray(self.np_table[p * rows:(p + 1) * rows])
+            part_np = self.np_table[p * rows:(p + 1) * rows]
+            if on_mesh:
+                part = jax.device_put(part_np, part_sh)
+                for gi, (p2, vb) in enumerate(dev):
+                    (lab,) = self._mesh_part_step(part, p2, vb,
+                                                  jnp.int32(p * rows))
+                    acc[gi] += np.asarray(lab)[:acc[gi].shape[0]]
+                continue
+            part = jnp.asarray(part_np)
             for gi, (p2, vb) in enumerate(dev):
                 lab = probe_part_step(
                     part, p2, vb, jnp.int32(p * rows),

@@ -64,3 +64,41 @@ def test_streaming_extended(setup):
         max_table_mb=db.table.nbytes / 4e6))
     got = list(streaming.classify_file(fq))
     assert got == want
+
+
+def test_streaming_composes_with_mesh(setup):
+    """Parts stream host->mesh while each part row-shards over 'db' and
+    batches shard over 'data' — must match the resident single-chip
+    path exactly (reference cycles x devices x parts,
+    src/CuClarkDB.cu:540-574, 813-858)."""
+    import jax
+
+    from cuclark_tpu.parallel.mesh import make_mesh
+
+    db, reads, fq = setup
+    resident = Classifier(db, ClassifyConfig(batch_reads=16))
+    want = list(resident.classify_file(fq))
+    mesh = make_mesh(num_db=2, num_data=4, devices=jax.devices()[:8])
+    clf = Classifier(db, ClassifyConfig(
+        batch_reads=16, max_table_mb=db.table.nbytes / 8e6, stream_group=2),
+        mesh=mesh)
+    assert clf.stream_parts > 1 and clf.mesh is mesh
+    got = list(clf.classify_file(fq))
+    assert got == want
+
+
+def test_streaming_mesh_records_and_extended(setup):
+    import jax
+
+    from cuclark_tpu.parallel.mesh import make_mesh
+
+    db, reads, fq = setup
+    resident = Classifier(db, ClassifyConfig(batch_reads=32, extended=True))
+    want = list(resident.classify_records(iter(reads)))
+    mesh = make_mesh(num_db=4, num_data=2, devices=jax.devices()[:8])
+    clf = Classifier(db, ClassifyConfig(
+        batch_reads=32, extended=True,
+        max_table_mb=db.table.nbytes / 16e6), mesh=mesh)
+    assert clf.stream_parts > 1
+    got = list(clf.classify_records(iter(reads)))
+    assert got == want
