@@ -105,6 +105,9 @@ def cmd_classify(args) -> int:
     cfg = ClassifyConfig(batch_reads=args.batch, extended=args.extended,
                          sample_factor=args.sfactor,
                          max_table_mb=args.max_table_mb)
+
+    if args.num_processes or args.coordinator:
+        return _classify_multiprocess(args, db, cfg)
     mesh = _choose_mesh(args.devices, db, args.max_table_mb)
     if mesh is not None:
         print(f" - Mesh: {mesh.shape['data']} data x {mesh.shape['db']} db "
@@ -164,6 +167,59 @@ def cmd_classify(args) -> int:
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)
         print(f" - Profiler trace in {args.profile}", file=sys.stderr)
+    return 0
+
+
+def _classify_multiprocess(args, db, cfg) -> int:
+    """Global-mesh multi-host classification (SURVEY §7.7): bring up
+    jax.distributed, build one mesh over every process's devices, and
+    run the lockstep per-host-fed classify.  Each process writes
+    <results>.h<rank>; concatenating shards in rank order yields the
+    single-host CSV byte-for-byte."""
+    import jax
+
+    from cuclark_tpu.io import fasta
+    from cuclark_tpu.parallel import multihost
+    from cuclark_tpu.parallel.mesh import make_global_mesh
+
+    multihost.initialize(args.coordinator, args.num_processes,
+                         args.process_id)
+    nproc = jax.process_count()
+    num_db = 1
+    if args.max_table_mb is not None:
+        budget = args.max_table_mb * 1e6
+        total = jax.device_count()
+        while db.table.nbytes / num_db > budget and num_db * 2 <= total:
+            num_db *= 2
+    mesh = make_global_mesh(num_db)
+    print(f" - Global mesh: {mesh.shape['data']} data x "
+          f"{mesh.shape['db']} db over {nproc} process(es)",
+          file=sys.stderr)
+
+    jobs = []
+    if args.paired:
+        triples = fasta.parse_paired_file_lists(
+            args.paired[0], args.paired[1], args.results)
+        if triples is None:
+            jobs.append((args.paired[0], args.paired[1], args.results))
+        else:
+            jobs.extend(triples)
+    else:
+        pairs = fasta.parse_file_list(args.objects)
+        if pairs is None:
+            jobs.append((args.objects, None, args.results))
+        else:
+            jobs.extend((obj, None, res) for obj, res in pairs)
+
+    for path, paired_path, out_path in jobs:
+        t0 = time.time()
+        n = multihost.classify_file_to_csv(
+            db, cfg, path, out_path, num_db=num_db,
+            paired_path=paired_path, mesh=mesh)
+        dt = time.time() - t0
+        print(f" - Assignment time: {dt:.6g} s. Speed: "
+              f"{int(n / dt * 60.0) if dt > 0 else 0} objects/min. "
+              f"({n} objects on process {jax.process_index()}).")
     return 0
 
 
@@ -406,9 +462,19 @@ def main(argv=None) -> int:
     c.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the run into DIR")
     c.add_argument("--num-hosts", type=int, default=1,
-                   help="total hosts sharding this input [1]")
+                   help="total hosts sharding this input for INDEPENDENT "
+                        "per-host runs (no cross-host mesh) [1]")
     c.add_argument("--host-id", type=int, default=0,
                    help="this host's rank in [0, num-hosts)")
+    c.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address; enables the "
+                        "GLOBAL multi-process mesh (one jitted program "
+                        "over every host's chips, db-axis psum over "
+                        "ICI/DCN); each process writes <results>.h<rank>")
+    c.add_argument("--num-processes", type=int, default=None,
+                   help="total jax processes in the global mesh")
+    c.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in [0, num-processes)")
     _add_db_args(c)
     c.set_defaults(fn=cmd_classify)
 

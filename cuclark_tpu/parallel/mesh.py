@@ -50,7 +50,35 @@ def shard_db_table(db: KmerDB, mesh: Mesh):
     if db.nb % num_db:
         raise ValueError(f"bucket count {db.nb} not divisible by db={num_db}")
     sharding = NamedSharding(mesh, P("db", None))
+    if jax.process_count() > 1:
+        # multi-controller: every process holds the full table on the
+        # host and materializes only its addressable shards
+        return jax.make_array_from_callback(
+            db.table.shape, sharding, lambda idx: db.table[idx])
     return jax.device_put(db.table, sharding)
+
+
+def make_global_mesh(num_db: int = 1, devices=None) -> Mesh:
+    """Global (data x db) mesh over ALL processes' devices, data-axis
+    host-major so each process's data rows are contiguous (per-host
+    record blocks concatenate in rank order).  num_db must divide the
+    per-process device count so the 'db' axis (and its psum) stays
+    within ICI rows; db > local devices would put the reduction on DCN,
+    which works but should be a deliberate choice."""
+    import jax as _jax
+
+    devices = list(devices if devices is not None else _jax.devices())
+    devices.sort(key=lambda d: (d.process_index, d.id))
+    local = max(1, len(devices) // max(1, _jax.process_count()))
+    if num_db != len(devices) and local % num_db:
+        # num_db == total (data=1, reads replicated to every host like
+        # the reference's per-GPU read broadcast) is the one allowed
+        # host-spanning case; otherwise db rows must sit within a host
+        raise ValueError(
+            f"num_db={num_db} must divide per-process devices {local} "
+            f"or equal the total device count {len(devices)}")
+    arr = np.asarray(devices).reshape(len(devices) // num_db, num_db)
+    return Mesh(arr, axis_names=("data", "db"))
 
 
 def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
@@ -137,12 +165,20 @@ def build_sharded_probe_part(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
 
 
 class ShardedClassifier:
-    """Mesh-parallel version of pipeline.Classifier's device step."""
+    """Mesh-parallel version of pipeline.Classifier's device step.
 
-    def __init__(self, db: KmerDB, mesh: Mesh, with_labels: bool = True):
+    multihost=True switches host<->mesh data movement to the
+    multi-controller primitives: every process feeds only its local
+    shard of each global batch (jax.make_array_from_process_local_data)
+    and reads back only its addressable result rows — the per-host
+    data path of SURVEY §7.7."""
+
+    def __init__(self, db: KmerDB, mesh: Mesh, with_labels: bool = True,
+                 multihost: bool = False):
         self.db = db
         self.mesh = mesh
         self.with_labels = with_labels
+        self.multihost = multihost or jax.process_count() > 1
         self.table = shard_db_table(db, mesh)
         self._step = build_sharded_classify(
             mesh,
@@ -169,10 +205,27 @@ class ShardedClassifier:
         (results, labels-or-None) as device arrays without blocking —
         the pipeline keeps batches in flight exactly like the
         single-chip path."""
-        dev_p2 = jax.device_put(packed2, self._codes_sharding)
-        dev_vb = jax.device_put(vbits, self._codes_sharding)
+        if self.multihost:
+            # each process contributes its rows of the global batch
+            dev_p2 = jax.make_array_from_process_local_data(
+                self._codes_sharding, np.asarray(packed2))
+            dev_vb = jax.make_array_from_process_local_data(
+                self._codes_sharding, np.asarray(vbits))
+        else:
+            dev_p2 = jax.device_put(packed2, self._codes_sharding)
+            dev_vb = jax.device_put(vbits, self._codes_sharding)
         out = self._step(self.table, dev_p2, dev_vb)
         return (out[0], out[1]) if self.with_labels else (out[0], None)
+
+    @staticmethod
+    def local_rows(out_arr, n_local: int | None = None) -> np.ndarray:
+        """This process's rows of a data-sharded result (multi-host:
+        only addressable shards can be read back; rank order along the
+        data axis is this host's contiguous record block)."""
+        shards = sorted(out_arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        rows = np.concatenate([np.asarray(s.data) for s in shards])
+        return rows if n_local is None else rows[:n_local]
 
     def classify_codes(self, codes: np.ndarray):
         """codes: [R, L] uint8; blocks and returns numpy results."""

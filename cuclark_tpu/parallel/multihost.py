@@ -113,3 +113,116 @@ def shard_reads_for_host(buf: np.ndarray, num_hosts: int, host_id: int):
     sub = buf[start:end]
     ns, ne, ss, se = fast_parse.scan_file(sub)
     return ns + start, ne + start, ss + start, se + start
+
+
+def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
+                         paired_path: str | None = None,
+                         mesh=None) -> int:
+    """Classify one file on a GLOBAL mesh spanning every process.
+
+    The lockstep protocol (all processes must dispatch identical
+    programs for the 'db'-axis psum to meet):
+      1. every process scans the whole file and derives ONE padded
+         read length for the file (global max), so batch shapes agree;
+      2. records split into contiguous per-process blocks by index
+         (outputs concatenate in rank order);
+      3. every process runs the SAME number of batches (the max over
+         blocks), padding missing records with empty reads;
+      4. each process feeds its local rows of every global batch
+         (jax.make_array_from_process_local_data) and writes only its
+         own result rows to out_path (suffixed .h<rank> when
+         multi-process).
+
+    Single-process this degenerates to the plain mesh path and is
+    CPU-testable end to end.  Returns rows written by THIS process."""
+    import jax
+
+    from cuclark_tpu import codec
+    from cuclark_tpu.io import fast_parse
+    from cuclark_tpu.io.csv_out import HEADER_TAIL, format_row
+    from cuclark_tpu.parallel.mesh import ShardedClassifier, make_global_mesh
+    from cuclark_tpu.pipeline import Classifier
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if mesh is None:
+        mesh = make_global_mesh(num_db)
+    sc = ShardedClassifier(db, mesh, with_labels=cfg.extended,
+                           multihost=True)
+    rows_global = mesh.shape["data"]
+    if rows_global % nproc:
+        raise ValueError(f"data axis {rows_global} not divisible by "
+                         f"{nproc} processes")
+
+    # 1. global scan (every process reads the shared input file).
+    # A bare Classifier shell reuses the scan/bin/emit helpers without
+    # placing the table on a device (the mesh already holds it).
+    from cuclark_tpu.pipeline import DEFAULT_LEN_BINS
+
+    clf = Classifier.__new__(Classifier)
+    clf.db, clf.cfg = db, cfg
+    clf.len_bins = tuple(sorted(DEFAULT_LEN_BINS))
+    buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
+        clf._scan_for_classify(path, paired_path, 0, 1, 0))
+    n_rec = len(seq_s)
+    raw_len = seq_e - seq_s
+    if buf2 is not None:
+        raw_len = raw_len + (seq_e2 - seq_s2) + 1
+    L = clf._bin_for(int(raw_len.max(initial=1)))
+    paired = buf2 is not None
+
+    # 2. contiguous per-process record blocks
+    per = n_rec // nproc
+    lo = per * pid
+    hi = n_rec if pid == nproc - 1 else per * (pid + 1)
+    max_block = n_rec - per * (nproc - 1) if nproc > 1 else n_rec
+
+    # 3. lockstep batch count; local rows per batch divisible by the
+    #    per-process slice of the data axis
+    B_local = max(cfg.batch_reads, rows_global // nproc)
+    B_local -= B_local % (rows_global // nproc) or 0
+    n_batches = max(1, -(-max_block // B_local))
+
+    written = 0
+    out_p = f"{out_path}.h{pid:03d}" if nproc > 1 else out_path
+    with open(out_p, "w") as f:
+        if pid == 0:
+            # shard files concatenate in rank order to one valid CSV
+            cols = ["Object_ID"]
+            if cfg.extended:
+                cols += db.target_names[1:]
+            cols += HEADER_TAIL
+            f.write(",".join(cols) + "\n")
+        for b in range(n_batches):
+            blo = lo + b * B_local
+            bhi = min(hi, blo + B_local)
+            cnt = max(0, bhi - blo)
+            if cnt:
+                codes, lengths = fast_parse.pack_block_dispatch(
+                    buf, seq_s[blo:bhi], seq_e[blo:bhi], L, n_rows=cnt)
+                if paired:
+                    from cuclark_tpu.pipeline import _merge_paired
+
+                    codes, lengths = _merge_paired(
+                        codes, lengths, buf2, seq_s2[blo:bhi],
+                        seq_e2[blo:bhi], L)
+                names = fast_parse.names_of(
+                    buf, name_s[blo:bhi], name_e[blo:bhi])
+                if cnt < B_local:  # lockstep: pad the ragged final batch
+                    codes = np.pad(codes, ((0, B_local - cnt), (0, 0)),
+                                   constant_values=codec.INVALID)
+                    lengths = np.pad(lengths, (0, B_local - cnt))
+            else:
+                codes = np.full((B_local, L), codec.INVALID, np.uint8)
+                lengths = np.zeros(B_local, np.int64)
+                names = []
+            p2, vb = codec.pack_codes(codes)
+            results_dev, labels_dev = sc.step_packed(p2, vb)
+            results = ShardedClassifier.local_rows(results_dev, cnt)
+            labels_np = (ShardedClassifier.local_rows(labels_dev, cnt)
+                         if labels_dev is not None else None)
+            for row in clf._emit_np(results, labels_np, names,
+                                    lengths, cnt, paired):
+                f.write(format_row(row, db.target_names, cfg.extended))
+                written += 1
+    return written

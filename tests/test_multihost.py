@@ -81,3 +81,78 @@ def test_cli_host_shards_concatenate(tmp_path):
               "--num-hosts", "3", "--host-id", str(h)])
         parts.extend(out.read_text().splitlines()[1:])
     assert parts == full[1:]
+
+
+def test_global_mesh_cli_matches_single_device(tmp_path):
+    """--num-processes 1 routes through the global-mesh lockstep path
+    (make_array_from_process_local_data feeding, db-axis psum) and must
+    reproduce the plain single-device CSV byte-for-byte."""
+    import random
+
+    from cuclark_tpu.cli import main
+
+    rng = random.Random(55)
+    genomes = {t: "".join(rng.choice("ACGT") for _ in range(2500))
+               for t in (1, 2)}
+    lines = []
+    for t, g in genomes.items():
+        (tmp_path / f"g{t}.fa").write_text(f">g{t}\n{g}\n")
+        lines.append(f"{tmp_path}/g{t}.fa S{t}")
+    (tmp_path / "targets.txt").write_text("\n".join(lines) + "\n")
+    reads = []
+    for i in range(37):  # odd count exercises the ragged final batch
+        t = rng.randrange(1, 3)
+        pos = rng.randrange(0, 2300)
+        reads.append((f"r{i}_t{t}", genomes[t][pos: pos + 100]))
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    main(["classify", "-D", str(tmp_path / "db"),
+          "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "plain.csv")])
+    rc = main(["classify", "-D", str(tmp_path / "db"),
+               "-O", str(tmp_path / "r.fq"),
+               "-R", str(tmp_path / "global.csv"),
+               "--num-processes", "1", "-b", "16"])
+    assert rc == 0
+    assert ((tmp_path / "global.csv").read_bytes()
+            == (tmp_path / "plain.csv").read_bytes())
+
+
+def test_global_mesh_function_with_db_axis(tmp_path):
+    """classify_file_to_csv on a (data x db) global mesh (single
+    process, 8 virtual devices) with a db axis > 1: psum-merged shards
+    must match the plain path, extended mode included."""
+    import random
+
+    import jax
+
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+    from cuclark_tpu.io.csv_out import write_results
+    from cuclark_tpu.parallel import multihost
+    from cuclark_tpu.parallel.mesh import make_global_mesh
+    from cuclark_tpu.pipeline import Classifier
+
+    rng = random.Random(66)
+    g = "".join(rng.choice("ACGT") for _ in range(3000))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    db = build_db([(str(tmp_path / "g.fa"), "T1")], DBConfig(k=21))
+    reads = [(f"r{i}", g[(p := rng.randrange(0, 2800)): p + 120])
+             for i in range(21)]
+    fq = tmp_path / "r.fq"
+    fq.write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+
+    for extended in (False, True):
+        cfg = ClassifyConfig(batch_reads=8, extended=extended)
+        clf = Classifier(db, cfg)
+        want = tmp_path / f"want{extended}.csv"
+        write_results(want, clf.classify_file(fq), db.target_names,
+                      extended=extended)
+        got = tmp_path / f"got{extended}.csv"
+        mesh = make_global_mesh(4, devices=jax.devices()[:8])
+        n = multihost.classify_file_to_csv(db, cfg, fq, got, num_db=4,
+                                           mesh=mesh)
+        assert n == 21
+        assert got.read_bytes() == want.read_bytes()
