@@ -281,4 +281,48 @@ int64_t format_rows(int64_t n,
     return w;
 }
 
+// Extended-mode rows: one dense per-target hit-count column between
+// the name and Length (src/CuCLARK_hh.hh:2014-2031 reconstructs the
+// dense columns from sparse rows; here the host hands us the dense
+// [n, n_targets] counts matrix directly).
+int64_t format_rows_ext(int64_t n, int64_t n_targets,
+                        const uint32_t* counts,
+                        const int64_t* norm, const double* gamma,
+                        const int32_t* ibest, const int32_t* best,
+                        const int32_t* isecond, const int32_t* second,
+                        const double* conf,
+                        const uint8_t* buf,
+                        const int64_t* name_s, const int64_t* name_e,
+                        const uint8_t* tnames, const int64_t* tname_off,
+                        char* out, int64_t cap) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t nl = name_e[i] - name_s[i];
+        if (nl > 39) nl = 39;
+        if (w + nl + 12 * (n_targets + 1) + 128 > cap) return -1;
+        int m = snprintf(out + w, cap - w, "%.*s",
+                         (int)nl, (const char*)(buf + name_s[i]));
+        if (m < 0) return -1;
+        w += m;
+        const uint32_t* row = counts + i * n_targets;
+        for (int64_t t = 0; t < n_targets; t++) {
+            m = snprintf(out + w, cap - w, ",%u", row[t]);
+            if (m < 0) return -1;
+            w += m;
+        }
+        int64_t t1 = ibest[i], t2 = isecond[i];
+        int tl1 = (int)(tname_off[t1 + 1] - tname_off[t1]);
+        int tl2 = (int)(tname_off[t2 + 1] - tname_off[t2]);
+        m = snprintf(out + w, cap - w,
+                     ",%lld,%g,%.*s,%d,%.*s,%d,%g\n",
+                     (long long)norm[i], gamma[i],
+                     tl1, (const char*)(tnames + tname_off[t1]), best[i],
+                     tl2, (const char*)(tnames + tname_off[t2]), second[i],
+                     conf[i]);
+        if (m < 0) return -1;
+        w += m;
+    }
+    return w;
+}
+
 }  // extern "C"

@@ -74,6 +74,13 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int64, _I64P, _F64P, _I32P, _I32P, _I32P, _I32P, _F64P,
         _U8P, _I64P, _I64P, _U8P, _I64P,
         ctypes.c_char_p, ctypes.c_int64]
+    _U32P = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.format_rows_ext.restype = ctypes.c_int64
+    lib.format_rows_ext.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _U32P,
+        _I64P, _F64P, _I32P, _I32P, _I32P, _I32P, _F64P,
+        _U8P, _I64P, _I64P, _U8P, _I64P,
+        ctypes.c_char_p, ctypes.c_int64]
     return lib
 
 
@@ -199,6 +206,40 @@ def format_rows(norm, gamma, ibest, best, isecond, second, conf,
     )
     if w < 0:
         raise RuntimeError("format_rows buffer overflow")
+    return out.raw[:w]
+
+
+def format_rows_ext(counts, norm, gamma, ibest, best, isecond, second,
+                    conf, buf, name_s, name_e, tname_bytes,
+                    tname_off) -> bytes:
+    """Extended-mode CSV rows: dense per-target count columns between
+    the name and Length (reference --extended)."""
+    lib = _lib()
+    n = len(norm)
+    counts = np.ascontiguousarray(counts, np.uint32)
+    n_targets = counts.shape[1] if counts.ndim == 2 else 0
+    name_s = np.ascontiguousarray(name_s, np.int64)
+    name_e = np.ascontiguousarray(name_e, np.int64)
+    cap = int(n * (12 * (n_targets + 1) + 192)
+              + (name_e - name_s).sum() + 64)
+    out = ctypes.create_string_buffer(cap)
+    w = lib.format_rows_ext(
+        n, n_targets, counts,
+        np.ascontiguousarray(norm, np.int64),
+        np.ascontiguousarray(gamma, np.float64),
+        np.ascontiguousarray(ibest, np.int32),
+        np.ascontiguousarray(best, np.int32),
+        np.ascontiguousarray(isecond, np.int32),
+        np.ascontiguousarray(second, np.int32),
+        np.ascontiguousarray(conf, np.float64),
+        np.ascontiguousarray(buf, np.uint8),
+        name_s, name_e,
+        np.ascontiguousarray(tname_bytes, np.uint8),
+        np.ascontiguousarray(tname_off, np.int64),
+        out, cap,
+    )
+    if w < 0:
+        raise RuntimeError("format_rows_ext buffer overflow")
     return out.raw[:w]
 
 

@@ -373,8 +373,7 @@ class Classifier:
         from cuclark_tpu import native
         from cuclark_tpu.io.csv_out import HEADER_TAIL, write_results
 
-        if (not native.available() or self.stream_parts > 1
-                or self.cfg.extended):
+        if not native.available() or self.stream_parts > 1:
             rows = self.classify_file(path, paired_path, skip=skip,
                                       num_hosts=num_hosts, host_id=host_id)
             n = 0
@@ -414,12 +413,18 @@ class Classifier:
         buf, buf2, *scan = self._scan_for_classify(
             path, paired_path, skip, num_hosts, host_id)
         paired = buf2 is not None
+        extended = self.cfg.extended
         tname_bytes, tname_off = native.pack_target_names(self.db.target_names)
         total_rows = 0
+        hstats = [None, 0, 0]  # min, max, sum of distinct hit targets
 
         with open(out_path, "ab" if append else "wb") as f:
             if not append:
-                f.write((",".join(["Object_ID"] + HEADER_TAIL) + "\n").encode())
+                cols = ["Object_ID"]
+                if extended:
+                    cols += self.db.target_names[1:]
+                cols += HEADER_TAIL
+                f.write((",".join(cols) + "\n").encode())
             inflight = deque()
 
             def flush_one():
@@ -431,10 +436,25 @@ class Classifier:
                     results[:, i] for i in range(5))
                 norm, gamma, conf = score.gamma_confidence(
                     total, best, second, lengths, self.db.k, paired)
-                f.write(native.format_rows(
-                    norm[:cnt], gamma[:cnt], ibest[:cnt], best[:cnt],
-                    isecond[:cnt], second[:cnt], conf[:cnt],
-                    buf, ns[:cnt], ne[:cnt], tname_bytes, tname_off))
+                if extended:
+                    counts = dense_counts(np.asarray(out[1])[:cnt],
+                                          self.db.num_targets)[:, 1:]
+                    distinct = (counts > 0).sum(axis=1)
+                    if cnt:
+                        lo = int(distinct.min())
+                        hstats[0] = (lo if hstats[0] is None
+                                     else min(hstats[0], lo))
+                        hstats[1] = max(hstats[1], int(distinct.max()))
+                        hstats[2] += int(distinct.sum())
+                    f.write(native.format_rows_ext(
+                        counts, norm[:cnt], gamma[:cnt], ibest[:cnt],
+                        best[:cnt], isecond[:cnt], second[:cnt], conf[:cnt],
+                        buf, ns[:cnt], ne[:cnt], tname_bytes, tname_off))
+                else:
+                    f.write(native.format_rows(
+                        norm[:cnt], gamma[:cnt], ibest[:cnt], best[:cnt],
+                        isecond[:cnt], second[:cnt], conf[:cnt],
+                        buf, ns[:cnt], ne[:cnt], tname_bytes, tname_off))
                 total_rows += cnt
 
             for codes, (ns, ne), lengths, cnt in _prefetch(
@@ -445,6 +465,13 @@ class Classifier:
                     flush_one()
             while inflight:
                 flush_one()
+        if extended and total_rows:
+            # reference extended-mode hit stats (CuCLARK_hh.hh:2075-2080)
+            import sys
+
+            print(f"MIN targets: {hstats[0] or 0}, MAX targets: "
+                  f"{hstats[1]}, AVG targets: {hstats[2] / total_rows:g}",
+                  file=sys.stderr)
         return total_rows
 
     def _classify_group_streaming(self, group, paired: bool):
@@ -532,6 +559,9 @@ class Classifier:
         norm, gamma, conf = score.gamma_confidence(
             total, best, second, lengths, self.db.k, paired
         )
+        counts = None
+        if labels_np is not None:
+            counts = dense_counts(labels_np[:count], self.db.num_targets)
         for i in range(count):
             row = {
                 "name": names[i],
@@ -544,11 +574,10 @@ class Classifier:
                 "second": int(second[i]),
                 "confidence": float(conf[i]),
             }
-            if labels_np is not None:
-                lab = labels_np[i]
-                lab = lab[lab > 0]
-                t, c = np.unique(lab, return_counts=True)
-                row["target_counts"] = dict(zip(t.tolist(), c.tolist()))
+            if counts is not None:
+                (t,) = np.nonzero(counts[i])
+                row["target_counts"] = dict(
+                    zip(t.tolist(), counts[i, t].tolist()))
             yield row
 
     # ---------- record-iterator path ----------
@@ -607,6 +636,23 @@ class Classifier:
             self._emit(*inflight, paired=paired) if inflight is not None else iter(())
         )
         return (out[0], out[1], rb.names, rb.lengths, rb.count), prev_rows
+
+
+def dense_counts(labels_np: np.ndarray, n_targets: int) -> np.ndarray:
+    """Per-read dense target hit counts, vectorized for a whole batch.
+
+    labels_np: int32 [R, P] per-window labels (0 = miss).  Returns
+    uint32 [R, n_targets+1] (column 0 unused) — the dense columns the
+    reference reconstructs per read from sparse rows
+    (src/CuCLARK_hh.hh:2014-2031), built here with ONE bincount over
+    the batch instead of a per-read unique loop."""
+    R, P = labels_np.shape
+    flat = labels_np.ravel()
+    m = flat > 0
+    rid = np.repeat(np.arange(R, dtype=np.int64), P)[m]
+    key = rid * (n_targets + 1) + flat[m].astype(np.int64)
+    c = np.bincount(key, minlength=R * (n_targets + 1))
+    return c.reshape(R, n_targets + 1).astype(np.uint32)
 
 
 def _prefetch(gen, depth: int = 2):

@@ -173,3 +173,42 @@ def test_fast_csv_path_byte_identical(tmp_path):
     slow = tmp_path / "slow.csv"
     write_results(slow, clf.classify_file(fq), db.target_names)
     assert fast.read_bytes() == slow.read_bytes()
+
+
+def test_extended_fast_csv_matches_dict_path(tmp_path):
+    """--extended now rides the native fast path: one bincount per
+    batch + C row formatter; must be byte-identical to the per-row
+    dict path (ref dense columns, src/CuCLARK_hh.hh:2014-2031)."""
+    import random
+
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+    from cuclark_tpu.io.csv_out import write_results
+    from cuclark_tpu.pipeline import Classifier
+
+    rng = random.Random(31)
+    genomes = {}
+    fl = []
+    for t in (1, 2, 3):
+        genomes[t] = "".join(rng.choice("ACGT") for _ in range(2000))
+        p = tmp_path / f"g{t}.fa"
+        p.write_text(f">g{t}\n{genomes[t]}\n")
+        fl.append((str(p), f"S{t}"))
+    db = build_db(fl, DBConfig(k=21))
+    reads = []
+    for i in range(23):
+        t = rng.randrange(1, 4)
+        pos = rng.randrange(0, 1900)
+        reads.append((f"r{i}", genomes[t][pos: pos + 95]))
+    fq = tmp_path / "r.fq"
+    fq.write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+
+    clf = Classifier(db, ClassifyConfig(batch_reads=8, extended=True))
+    fast = tmp_path / "fast.csv"
+    n = clf.classify_file_to_csv(fq, fast)
+    assert n == 23
+    want = tmp_path / "want.csv"
+    write_results(want, clf.classify_file(fq), db.target_names,
+                  extended=True)
+    assert fast.read_bytes() == want.read_bytes()
