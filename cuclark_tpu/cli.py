@@ -89,6 +89,18 @@ def cmd_classify(args) -> int:
     from cuclark_tpu.pipeline import Classifier
 
     dbdir = Path(args.db_dir)
+    settings = _read_settings(dbdir)
+    if settings and settings.get("targets"):
+        # set-targets manages this database: refuse a conflicting -T
+        # (classify_metagenome.sh:60-87 forbids -T/-D override) and use
+        # the recorded targets for implicit builds
+        rec = str(Path(settings["targets"]))
+        if args.targets and str(Path(args.targets)) != rec:
+            print(f"error: this database is managed by set-targets "
+                  f"(.settings records -T {rec}); omit -T or use that "
+                  f"file.", file=sys.stderr)
+            return 1
+        args.targets = rec
     dbp = _find_db(dbdir)
     if dbp is None:
         if not args.targets:
@@ -253,20 +265,22 @@ def _choose_mesh(devices: int, db, max_table_mb):
                      devices=jax.devices()[:n])
 
 
+def _read_settings(dbdir: Path) -> dict | None:
+    p = dbdir / ".settings"
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text())
+    except (ValueError, OSError):
+        return None
+
+
 def _count_csv_rows(path) -> int:
     try:
         with open(path, "rb") as f:
             return max(0, sum(1 for _ in f) - 1)
     except OSError:
         return 0
-
-
-def _append_results(out_path, rows, target_names, extended=False):
-    from cuclark_tpu.io.csv_out import format_row
-
-    with open(out_path, "a") as f:
-        for row in rows:
-            f.write(format_row(row, target_names, extended))
 
 
 def cmd_abundance(args) -> int:

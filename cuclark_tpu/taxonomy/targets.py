@@ -68,8 +68,17 @@ def set_targets(args) -> int:
     (db_dir / "targets.txt").write_text("\n".join(lines) + "\n")
     if excluded:
         (db_dir / "files_excluded.txt").write_text("\n".join(excluded) + "\n")
+    # classify consumes this: the recorded targets definition is
+    # authoritative for the database directory, and a conflicting -T is
+    # refused, like classify_metagenome.sh prepending .settings and
+    # forbidding -T/-D override (classify_metagenome.sh:60-87)
     (db_dir / ".settings").write_text(
-        json.dumps({"rank": args.rank, "num_targets_files": len(lines)}) + "\n"
+        json.dumps({
+            "rank": args.rank,
+            "num_targets_files": len(lines),
+            "targets": str(db_dir / "targets.txt"),
+            "db_dir": str(db_dir),
+        }) + "\n"
     )
     print(
         f"targets.txt: {len(lines)} files ({len(excluded)} excluded) -> {db_dir}",

@@ -128,3 +128,16 @@ def test_q4_sample_factor(tmp_path):
     assert 0.3 < frac < 0.7
     mask = got > 0
     np.testing.assert_array_equal(got[mask], labels[mask].astype(np.int32))
+
+
+def test_sample_factor_fraction_quarter(tmp_path):
+    """-s semantics: every s-th bucket by index retains ~1/s of the
+    k-mers (documented divergence from the reference's every-s-th
+    NON-EMPTY bucket, src/CuClarkDB.cu:508-524 — same retained
+    fraction, different subset)."""
+    db, km, labels = _db(80000, "q4")
+    db.save(tmp_path / "db.npz")
+    for s in (2, 4, 8):
+        dbs = KmerDB.load(tmp_path / "db.npz", sample_factor=s)
+        frac = (dbs.probe_np(km) > 0).mean()
+        assert abs(frac - 1.0 / s) < 0.02, (s, frac)

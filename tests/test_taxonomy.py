@@ -95,3 +95,37 @@ def test_set_targets_custom(tmp_path):
     ))
     assert rc == 0
     assert (db_dir / "targets.txt").read_text().split()[1] == "x"
+
+
+def test_settings_enforced_at_classify(tmp_path):
+    """set-targets writes .settings; classify refuses a conflicting -T
+    and uses the recorded targets for implicit builds
+    (classify_metagenome.sh:60-87 parity)."""
+    import random
+
+    from cuclark_tpu.cli import main
+
+    rng = random.Random(17)
+    ref = tmp_path / "refs"
+    ref.mkdir()
+    g = "".join(rng.choice("ACGT") for _ in range(2500))
+    (ref / "org1.fa").write_text(f">org1\n{g}\n")
+    db_dir = tmp_path / "db"
+    rc = main(["set-targets", str(db_dir), str(ref), "--rank", "custom"])
+    assert rc == 0
+    assert (db_dir / ".settings").exists()
+
+    (tmp_path / "r.fq").write_text(
+        f"@r0\n{g[100:200]}\n+\n{'I' * 100}\n")
+    # conflicting -T refused
+    other = tmp_path / "other_targets.txt"
+    other.write_text(f"{ref}/org1.fa X1\n")
+    rc = main(["classify", "-D", str(db_dir), "-T", str(other),
+               "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "o.csv")])
+    assert rc == 1
+    # no -T: implicit build from the recorded targets
+    rc = main(["classify", "-D", str(db_dir),
+               "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "o.csv")])
+    assert rc == 0
+    rows = (tmp_path / "o.csv").read_text().splitlines()
+    assert rows[1].split(",")[3] == "org1"
