@@ -345,6 +345,47 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_export_clark(args) -> int:
+    """Write the database in the CLARK-family .sz/.ky/.lb layout so a
+    CLARK/CuCLARK installation can cross-validate it
+    (src/hashTable_hh.hh:590-663)."""
+    from cuclark_tpu.hashdb import KmerDB
+    from cuclark_tpu.io import clark_db
+
+    dbp = _find_db(Path(args.db_dir))
+    if dbp is None:
+        print("no database found", file=sys.stderr)
+        return 1
+    db = KmerDB.load(dbp)
+    htsize = args.htsize or (clark_db.HTSIZE_LIGHT if args.light
+                             else clark_db.HTSIZE_FULL)
+    kmers, labels = db.items()
+    n = clark_db.export_clark_db(kmers, labels, args.output, db.k, htsize)
+    print(f"exported {n} {db.k}-mers -> {args.output}.sz/.ky/.lb "
+          f"(HTSIZE={htsize})", file=sys.stderr)
+    return 0
+
+
+def cmd_import_clark(args) -> int:
+    """Build a database from CLARK .sz/.ky/.lb files + the targets
+    definition that names its label indices."""
+    from cuclark_tpu.db_build.builder import LabelSpace, db_name, parse_targets_file
+    from cuclark_tpu.hashdb import build_table
+    from cuclark_tpu.io import clark_db
+
+    space = LabelSpace(parse_targets_file(args.targets))
+    kmers, labels = clark_db.import_clark_db(args.input, args.k)
+    cfg = _build_cfg(args)
+    db = build_table(kmers, labels, space.names, cfg)
+    dbdir = Path(args.db_dir)
+    dbdir.mkdir(parents=True, exist_ok=True)
+    out = dbdir / db_name(cfg, db.num_targets)
+    db.save(out)
+    print(f"imported {db.num_kmers} {args.k}-mers, "
+          f"{db.num_targets} targets -> {out}", file=sys.stderr)
+    return 0
+
+
 def cmd_set_targets(args) -> int:
     from cuclark_tpu.taxonomy.targets import set_targets
 
@@ -514,6 +555,28 @@ def main(argv=None) -> int:
     i = sub.add_parser("info", help="print database info")
     i.add_argument("-D", "--db-dir", required=True)
     i.set_defaults(fn=cmd_info)
+
+    ec = sub.add_parser("export-clark",
+                        help="export database as CLARK .sz/.ky/.lb")
+    ec.add_argument("-D", "--db-dir", required=True)
+    ec.add_argument("-o", "--output", required=True,
+                    help="output path base (writes base.sz/.ky/.lb)")
+    ec.add_argument("--htsize", type=int, default=None,
+                    help="CLARK hash table size [1610612741; light "
+                         "preset 57777779]")
+    ec.add_argument("--light", action="store_true",
+                    help="use the cuCLARK-l HTSIZE")
+    ec.set_defaults(fn=cmd_export_clark)
+
+    ic = sub.add_parser("import-clark",
+                        help="build database from CLARK .sz/.ky/.lb")
+    ic.add_argument("-i", "--input", required=True,
+                    help="input path base (reads base.sz/.ky/.lb)")
+    ic.add_argument("-T", "--targets", required=True,
+                    help="targets definition naming the label indices")
+    ic.add_argument("-D", "--db-dir", required=True)
+    _add_db_args(ic)
+    ic.set_defaults(fn=cmd_import_clark)
 
     args = ap.parse_args(argv)
     try:

@@ -186,6 +186,43 @@ class KmerDB:
     def checksum(self) -> int:
         return zlib.crc32(self.table.tobytes())
 
+    def items(self) -> tuple[np.ndarray, np.ndarray]:
+        """Recover every stored (canonical k-mer, label) pair.
+
+        s2 rows store full keys; q4 entries reconstruct (h1, l2) from
+        (bucket, other, quotient, choice) and run the Feistel backwards
+        (it is a bijection).  Enables exporting the database to other
+        formats (e.g. CLARK .sz/.ky/.lb) without side archives."""
+        if self.layout == "q4":
+            nb = self.nb
+            other = self.table[:, :4].ravel()
+            meta = self.table[:, 4:].ravel()
+            lab = (meta & _M32(0xFFFF)).astype(np.uint32)
+            keep = lab > 0
+            other, meta, lab = other[keep], meta[keep], lab[keep]
+            bidx = np.repeat(np.arange(nb, dtype=np.uint32), 4)[keep]
+            q = meta >> _M32(17)
+            choice = (meta >> _M32(16)) & _M32(1)
+            own = (q << _M32(self.nb_bits)) | bidx
+            h1 = np.where(choice == 0, other, own)
+            l2 = np.where(choice == 0, own, other)
+            # inverse 3-round Feistel (forward fmix only)
+            c1, c2, c3 = feistel_seed_consts(self.seed)
+            with np.errstate(over="ignore"):
+                l1 = l2 ^ _fmix(h1 + _M32(c3))
+                hi = h1 ^ _fmix(l1 + _M32(c2))
+                lo = l1 ^ _fmix(hi + _M32(c1))
+            kmers = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+            return kmers, lab
+        S = self.slots
+        klo = self.table[:, :S].ravel()
+        khi = self.table[:, S:2 * S].ravel()
+        lab = self.table[:, 2 * S:].ravel().astype(np.uint32)
+        keep = (klo != EMPTY) | (khi != EMPTY)
+        kmers = ((khi[keep].astype(np.uint64) << np.uint64(32))
+                 | klo[keep].astype(np.uint64))
+        return kmers, lab[keep]
+
     # ---------- host-side probe / self-check ----------
 
     def probe_np(self, kmers: np.ndarray) -> np.ndarray:
