@@ -250,8 +250,16 @@ def _choose_mesh(devices: int, db, max_table_mb):
 
     avail = jax.device_count()
     n = avail if devices in (0, None) else min(devices, avail)
+    if devices not in (0, None) and devices > avail:
+        print(f" - Requested {devices} devices, only {avail} available.",
+              file=sys.stderr)
     # largest power of two <= n keeps both axes power-of-two (nb % db == 0)
-    n = 1 << (n.bit_length() - 1)
+    pow2 = 1 << (n.bit_length() - 1)
+    if pow2 != n:
+        print(f" - Using {pow2} of {n} devices (mesh axes must be "
+              f"powers of two so bucket ranges divide evenly).",
+              file=sys.stderr)
+    n = pow2
     if n < 2:
         return None
     from cuclark_tpu.parallel.mesh import make_mesh
@@ -495,8 +503,9 @@ def main(argv=None) -> int:
                    help="paired-end mates")
     c.add_argument("-s", "--sfactor", type=int, default=1,
                    help="query-time bucket sampling factor [1]")
-    c.add_argument("-b", "--batch", type=int, default=16384,
-                   help="reads per device batch [16384]")
+    c.add_argument("-b", "--batch", type=int, default=65536,
+                   help="reads per device batch; long-read batches "
+                        "auto-shrink to the device cell budget [65536]")
     c.add_argument("-d", "--devices", type=int, default=1,
                    help="number of TPU devices to use; 0 = all available "
                         "(reads shard over a data axis, DB bucket ranges "

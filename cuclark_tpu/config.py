@@ -79,6 +79,9 @@ class ClassifyConfig:
     """Online classification parameters.
 
     batch_reads:    reads per device batch (padded to this size).
+                    Large batches amortize the per-dispatch host<->device
+                    round trip (~20 ms on a remote chip); the pipeline's
+                    MAX_BATCH_CELLS cap shrinks long-read batches.
     max_read_len:   padded read length in bases per batch bin; longer
                     reads fall into larger bins (pipeline handles
                     binning) so short-read batches stay dense.
@@ -89,7 +92,7 @@ class ClassifyConfig:
                     (reference --extended, src/CuCLARK_hh.hh:2014-2031).
     """
 
-    batch_reads: int = 16384
+    batch_reads: int = 65536
     max_read_len: int = 256
     sample_factor: int = 1
     extended: bool = False

@@ -277,7 +277,7 @@ class Classifier:
     # Device-memory guard: batch_rows x padded_length is capped so a
     # stretch of very long reads (nanopore-scale) shrinks the batch
     # instead of exploding the padded code matrix / label arrays.
-    MAX_BATCH_CELLS = 16384 * 1024
+    MAX_BATCH_CELLS = 65536 * 512
 
     def _packed_batches(self, buf, buf2, name_s, name_e, seq_s, seq_e,
                         seq_s2, seq_e2):

@@ -6,9 +6,16 @@ Run from /root/repo."""
 
 import time
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+cache = os.path.join(os.path.expanduser("~"), ".cache", "cuclark_tpu", "xla")
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from cuclark_tpu import codec
 from cuclark_tpu.config import DBConfig
@@ -54,8 +61,7 @@ def _timed(fn):
 
 
 for n_kmers, n_targets in ((4_000_000, 1024), (4_000_000, 16384),
-                           (16_000_000, 1024), (64_000_000, 1024),
-                           (64_000_000, 16384)):
+                           (64_000_000, 1024)):
     km = rng.integers(0, 1 << 62, size=int(n_kmers * 1.02), dtype=np.uint64)
     km = np.unique(codec.canonical_np(km, K))[:n_kmers]
     labels = rng.integers(1, n_targets + 1, size=len(km)).astype(np.uint32)
