@@ -244,6 +244,68 @@ int64_t build_cuckoo(const uint64_t* kmers, const uint32_t* labels,
     return 0;
 }
 
+// ---- q4 layout build ----
+// Two-choice C=4 cuckoo over Feistel-mixed keys; entries are
+// quotient-compressed [other u32 | (q15|choice1|label16) u32] pairs in
+// 32 B rows (see cuclark_tpu/hashdb.py KmerDB docs).  Replaces the
+// vectorized-numpy + Python-eviction build for large databases.
+
+int64_t build_q4(const uint64_t* kmers, const uint32_t* labels, int64_t n,
+                 int32_t nb_bits, uint32_t c1, uint32_t c2, uint32_t c3,
+                 uint32_t* table /* [NB, 8] zero-initialized */,
+                 uint8_t* occ, int64_t max_kicks) {
+    const uint32_t mask = (uint32_t)((1ull << nb_bits) - 1);
+    uint64_t rng = 0x5EEDC0FFEEull;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t lo = (uint32_t)kmers[i], hi = (uint32_t)(kmers[i] >> 32);
+        uint32_t l1 = lo ^ fmix(hi + c1);
+        uint32_t h1 = hi ^ fmix(l1 + c2);
+        uint32_t l2 = l1 ^ fmix(h1 + c3);
+        uint32_t lb = labels[i];
+        uint32_t choice = 0;
+        for (int64_t kick = 0; kick <= max_kicks; kick++) {
+            // try both buckets when fresh, else only the current choice
+            for (int c = (kick == 0 ? 0 : (int)choice);
+                 c <= (kick == 0 ? 1 : (int)choice); c++) {
+                uint32_t b = (c == 0 ? l2 : h1) & mask;
+                if (occ[b] < 4) {
+                    int64_t row = (int64_t)b * 8;
+                    int s = occ[b];
+                    uint32_t own = c == 0 ? l2 : h1;
+                    table[row + s] = c == 0 ? h1 : l2;
+                    table[row + 4 + s] =
+                        ((own >> nb_bits) << 17) | ((uint32_t)c << 16) | lb;
+                    occ[b]++;
+                    goto placed;
+                }
+            }
+            {
+                // evict a random slot of the current-choice bucket
+                uint32_t b = (choice == 0 ? l2 : h1) & mask;
+                rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17;
+                int s = (int)(rng & 3);
+                int64_t row = (int64_t)b * 8;
+                uint32_t v_other = table[row + s];
+                uint32_t v_meta = table[row + 4 + s];
+                uint32_t own = choice == 0 ? l2 : h1;
+                table[row + s] = choice == 0 ? h1 : l2;
+                table[row + 4 + s] =
+                    ((own >> nb_bits) << 17) | (choice << 16) | lb;
+                // reconstruct the victim and retry it at its other choice
+                uint32_t v_c = (v_meta >> 16) & 1u;
+                uint32_t v_own = ((v_meta >> 17) << nb_bits) | b;
+                l2 = v_c == 0 ? v_own : v_other;
+                h1 = v_c == 0 ? v_other : v_own;
+                lb = v_meta & 0xFFFFu;
+                choice = 1u - v_c;
+            }
+        }
+        return -1;  // kick budget exhausted
+      placed:;
+    }
+    return 0;
+}
+
 // ---- CLARK CSV row formatting ----
 // Exact row format of printExtendedResultsSynced (normal mode),
 // src/CuCLARK_hh.hh:2127-2135: "%s,%u,%g,%s,%u,%s,%u,%g\n" with the

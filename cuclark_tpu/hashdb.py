@@ -338,7 +338,21 @@ def build_table(
 
 def _try_build_q4(kmers, labels, target_names, cfg, nb_bits, seed):
     """q4 layout build: Feistel-mix keys, two-choice C=4 cuckoo
-    placement, pack [other x4 | meta x4] rows."""
+    placement, pack [other x4 | meta x4] rows.  Native C++ insert loop
+    when available (the Python eviction tail dominates large numpy
+    builds), vectorized numpy otherwise."""
+    from cuclark_tpu import native
+
+    if native.available():
+        table = native.build_q4(kmers, labels, nb_bits,
+                                feistel_seed_consts(seed))
+        if table is None:
+            return None
+        return KmerDB(
+            k=cfg.k, slots=4, num_choices=2, nb_bits=nb_bits,
+            target_names=list(target_names), table=table,
+            num_kmers=len(kmers), gap=cfg.gap, layout="q4", seed=seed,
+        )
     hi, lo = _split64(kmers)
     h1, l2 = feistel_mix(hi, lo, seed)
     mask = _M32((1 << nb_bits) - 1)

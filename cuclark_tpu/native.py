@@ -75,6 +75,11 @@ def _build() -> ctypes.CDLL | None:
         _U8P, _I64P, _I64P, _U8P, _I64P,
         ctypes.c_char_p, ctypes.c_int64]
     _U32P = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.build_q4.restype = ctypes.c_int64
+    lib.build_q4.argtypes = [
+        _U64P, _U32P, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        _U32P, _U8P, ctypes.c_int64]
     lib.format_rows_ext.restype = ctypes.c_int64
     lib.format_rows_ext.argtypes = [
         ctypes.c_int64, ctypes.c_int64, _U32P,
@@ -241,6 +246,27 @@ def format_rows_ext(counts, norm, gamma, ibest, best, isecond, second,
     if w < 0:
         raise RuntimeError("format_rows_ext buffer overflow")
     return out.raw[:w]
+
+
+def build_q4(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,
+             seed_consts: tuple[int, int, int], max_kicks: int = 500):
+    """q4-layout table build (C++ Feistel + cuckoo insert loop).
+
+    Returns the uint32 [NB, 8] table, or None on overflow (caller
+    reseeds / grows)."""
+    lib = _lib()
+    nb = 1 << nb_bits
+    table = np.zeros((nb, 8), dtype=np.uint32)
+    occ = np.zeros(nb, dtype=np.uint8)
+    c1, c2, c3 = seed_consts
+    rc = lib.build_q4(
+        np.ascontiguousarray(kmers, np.uint64),
+        np.ascontiguousarray(labels, np.uint32),
+        len(kmers), nb_bits, c1, c2, c3, table, occ, max_kicks,
+    )
+    if rc != 0:
+        return None
+    return table
 
 
 def build_cuckoo(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,

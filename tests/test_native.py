@@ -87,3 +87,31 @@ def test_light_iter_persists_across_sequences():
     assert j1 == it1 and j2 == it2
     np.testing.assert_array_equal(g1, np.array(w1, dtype=np.uint64))
     np.testing.assert_array_equal(g2, np.array(w2, dtype=np.uint64))
+
+
+def test_native_q4_build_matches_numpy_probe():
+    """Native and numpy q4 builds place keys differently (iteration
+    order) but must both verify and probe identically."""
+    import numpy as np
+
+    from cuclark_tpu import native
+    from cuclark_tpu.config import DBConfig
+    from cuclark_tpu.hashdb import _try_build_q4, choose_nb_bits
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native module")
+    rng = np.random.default_rng(0)
+    km = np.unique(rng.integers(0, 1 << 60, size=60000, dtype=np.uint64))
+    labels = rng.integers(1, 100, size=len(km)).astype(np.uint32)
+    names = ["NA"] + [f"T{i}" for i in range(1, 100)]
+    cfg = DBConfig(k=31, layout="q4", target_load=0.85)
+    bits = choose_nb_bits(len(km), cfg)
+    db = _try_build_q4(km, labels, names, cfg, bits, seed=1)
+    assert db is not None
+    db.verify(km, labels, sample=None)
+    # misses return 0
+    q = rng.integers(0, 1 << 60, size=10000, dtype=np.uint64)
+    q = q[~np.isin(q, km)]
+    assert (db.probe_np(q) == 0).all()
