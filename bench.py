@@ -20,11 +20,20 @@ CUCLARK_BENCH_READLEN, CUCLARK_BENCH_TARGETS, CUCLARK_BENCH_REPS.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_READS_PER_SEC = 16667.0
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
 
 
 def main():
@@ -64,6 +73,7 @@ def main():
     labels = rng.integers(1, n_targets + 1, size=len(km)).astype(np.uint32)
     names = ["NA"] + [f"T{i}" for i in range(1, n_targets + 1)]
     cfg = DBConfig(k=k, slots=2, target_load=0.7)
+    _log('building main table')
     t0 = time.time()
     db = build_table(km, labels, names, cfg)
     build_s = time.time() - t0
@@ -93,8 +103,10 @@ def main():
             acc = acc + results[:, 0].sum() % 97
         return float(np.asarray(acc))
 
+    _log('warmup compile (device step)')
     run()  # warmup/compile
 
+    _log('timing device step')
     times = []
     for _ in range(reps):
         t0 = time.time()
@@ -145,6 +157,7 @@ def main():
                 f.write(b"".join(blocks))
             clf = Classifier(db, ClassifyConfig(batch_reads=chunk))
             out_csv = Path(td) / "out.csv"
+            _log('e2e warmup')
             clf.classify_file_to_csv(fq, out_csv)  # warmup (compile)
             t0 = time.time()
             n = clf.classify_file_to_csv(fq, out_csv)
@@ -158,6 +171,7 @@ def main():
     # documents it at representative scale)
     scale_kmers = int(os.environ.get("CUCLARK_BENCH_SCALE_KMERS", 64_000_000))
     if scale_kmers:
+        _log('building at-scale table')
         kms = rng.integers(0, 1 << 62, size=int(scale_kmers * 1.02),
                            dtype=np.uint64)
         kms = np.unique(codec.canonical_np(kms, k))[:scale_kmers]
@@ -179,6 +193,7 @@ def main():
                 acc = acc + results[:, 0].sum() % 97
             return float(np.asarray(acc))
 
+        _log('at-scale warmup done' if False else 'at-scale timing')
         run_scale()
         t0 = time.time()
         run_scale()

@@ -326,6 +326,26 @@ def cmd_abundance(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Spectrum bump-interval analysis (the reference's analyser,
+    src/analyser.cc:46-137, wired live): prints the multiplicity
+    histogram summary and the detected solid-kmer interval, with the
+    suggested -t for build-db on this spectrum."""
+    from cuclark_tpu import analyser
+
+    freq = analyser.spectrum_histogram(args.input)
+    total = int(freq.sum())
+    found, lo, hi = analyser.bump_interval(freq, div=args.div)
+    print(f"spectrum: {total} k-mers, multiplicities 1..{len(freq) - 1}")
+    if found:
+        print(f"bump interval: [{lo}, {hi}]")
+        print(f"suggested build-db min multiplicity: -t {max(lo - 1, 0)} "
+              f"(keeps counts >= {lo})")
+    else:
+        print(f"no bump detected; nonzero range [{lo}, {hi}]")
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Remove database artifacts (resetCustomDB.sh / clean.sh analog):
     by default keeps targets.txt and the tsk archive; --all removes
@@ -554,6 +574,15 @@ def main(argv=None) -> int:
                     choices=["species", "genus", "family", "order", "class", "phylum", "custom"])
     st.add_argument("--taxonomy-dir", help="dir with nodes.dmp / accession2taxid")
     st.set_defaults(fn=cmd_set_targets)
+
+    an = sub.add_parser("analyze",
+                        help="detect the solid-kmer multiplicity bump of "
+                             "a spectrum file")
+    an.add_argument("-i", "--input", required=True,
+                    help="spectrum file: '<kmer> <count>' lines")
+    an.add_argument("--div", type=int, default=2,
+                    help="interval half-width divisor [2]")
+    an.set_defaults(fn=cmd_analyze)
 
     cl = sub.add_parser("clean", help="remove database artifacts")
     cl.add_argument("-D", "--db-dir", required=True)
