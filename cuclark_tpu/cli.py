@@ -88,6 +88,11 @@ def cmd_classify(args) -> int:
     from cuclark_tpu.io.csv_out import write_results
     from cuclark_tpu.pipeline import Classifier
 
+    if args.sfactor != 1 and not 2 <= args.sfactor <= 30:
+        # reference bound: [2, SFACTORMAX=30] (src/main.cc:214-218)
+        print("error: the sampling factor value should be in the "
+              "interval [2,30].", file=sys.stderr)
+        return 1
     dbdir = Path(args.db_dir)
     settings = _read_settings(dbdir)
     if settings and settings.get("targets"):

@@ -145,3 +145,12 @@ def test_resume_appends(demo, tmp_path):
                "-O", str(tmp / "reads.fq"), "-R", str(part), "--resume"])
     assert rc == 0
     assert part.read_text() == want
+
+
+def test_sfactor_range_rejected(demo, capsys):
+    tmp, _, _ = demo
+    rc = main(["classify", "-D", str(tmp / "db"),
+               "-O", str(tmp / "reads.fq"), "-R", str(tmp / "sf.csv"),
+               "-s", "31"])
+    assert rc == 1
+    assert "[2,30]" in capsys.readouterr().err
