@@ -305,6 +305,12 @@ def cmd_abundance(args) -> int:
     counts: dict[str, int] = {}
     total = 0
     min_conf = args.min_confidence
+    min_gamma = args.min_gamma
+    if args.highconfidence:
+        # CLARK estimate_abundance --highconfidence preset:
+        # confidence >= 0.75 and gamma >= 0.03
+        min_conf = max(min_conf, 0.75)
+        min_gamma = max(min_gamma, 0.03)
     with open(args.results) as f:
         reader = _csv.reader(f)
         header = next(reader)
@@ -314,20 +320,66 @@ def cmd_abundance(args) -> int:
             print("not a cuclark result CSV", file=sys.stderr)
             return 1
         conf_col = header.index("confidence") if "confidence" in header else None
+        gamma_col = header.index("Gamma") if "Gamma" in header else None
         for row in reader:
             if not row:
                 continue
             t = row[col]
             # low-confidence assignments are counted as unclassified,
             # like CLARK's estimate_abundance -c filter
-            if (min_conf > 0 and conf_col is not None and t != "NA"
-                    and float(row[conf_col]) < min_conf):
-                t = "NA"
+            if t != "NA":
+                if (min_conf > 0 and conf_col is not None
+                        and float(row[conf_col]) < min_conf):
+                    t = "NA"
+                elif (min_gamma > 0 and gamma_col is not None
+                        and float(row[gamma_col]) < min_gamma):
+                    t = "NA"
             counts[t] = counts.get(t, 0) + 1
             total += 1
-    print("Name,Count,Proportion_All(%)")
+    classified = total - counts.get("NA", 0)
+    print("Name,Count,Proportion_All(%),Proportion_Classified(%)")
     for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
-        print(f"{name},{c},{100.0 * c / total:.4f}")
+        pc = "-" if name == "NA" else (
+            f"{100.0 * c / classified:.4f}" if classified else "0.0000")
+        print(f"{name},{c},{100.0 * c / total:.4f},{pc}")
+    return 0
+
+
+def cmd_density(args) -> int:
+    """Distribution of the confidence or gamma column of a result CSV —
+    the CLARK-side evaluate_density_confidence.sh /
+    evaluate_density_gamma.sh companions (reference README.md:77-80),
+    computed natively: prints `bin_start,count,fraction` histogram rows
+    for assigned reads."""
+    import csv as _csv
+
+    import numpy as np
+
+    colname = {"confidence": "confidence", "gamma": "Gamma"}[args.by]
+    vals = []
+    with open(args.results) as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        try:
+            col = header.index(colname)
+            acol = header.index("1st_assignment")
+        except ValueError:
+            print("not a cuclark result CSV", file=sys.stderr)
+            return 1
+        for row in reader:
+            if row and row[acol] != "NA":
+                vals.append(float(row[col]))
+    if not vals:
+        print("no assigned reads", file=sys.stderr)
+        return 1
+    v = np.asarray(vals)
+    lo, hi = (0.5, 1.0) if args.by == "confidence" else (0.0, 1.0)
+    hist, edges = np.histogram(v, bins=args.bins, range=(lo, hi))
+    print(f"{args.by}_bin,count,fraction")
+    for c, e in zip(hist, edges[:-1]):
+        print(f"{e:.4f},{c},{c / len(v):.4f}")
+    print(f"# assigned={len(v)} mean={v.mean():.4f} median="
+          f"{np.median(v):.4f}", file=sys.stderr)
     return 0
 
 
@@ -570,7 +622,21 @@ def main(argv=None) -> int:
     a = sub.add_parser("abundance", help="summarize a result CSV")
     a.add_argument("-R", "--results", required=True)
     a.add_argument("--min-confidence", type=float, default=0.0)
+    a.add_argument("--min-gamma", type=float, default=0.0)
+    a.add_argument("--highconfidence", action="store_true",
+                   help="count only assignments with confidence >= 0.75 "
+                        "and gamma >= 0.03 (CLARK estimate_abundance "
+                        "--highconfidence)")
     a.set_defaults(fn=cmd_abundance)
+
+    de = sub.add_parser("density",
+                        help="confidence/gamma distribution of a result "
+                             "CSV (evaluate_density_* analog)")
+    de.add_argument("-R", "--results", required=True)
+    de.add_argument("--by", choices=("confidence", "gamma"),
+                    default="confidence")
+    de.add_argument("--bins", type=int, default=20)
+    de.set_defaults(fn=cmd_density)
 
     st = sub.add_parser("set-targets", help="build targets.txt from reference dirs")
     st.add_argument("db_dir")

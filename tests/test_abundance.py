@@ -1,0 +1,80 @@
+"""abundance / density result-CSV summaries (the CLARK-side
+estimate_abundance.sh / evaluate_density_*.sh companions, reference
+README.md:77-80)."""
+
+import pytest
+
+from cuclark_tpu.cli import main
+
+HEADER = ("Object_ID,Length,Gamma,1st_assignment,score1,2nd_assignment,"
+          "score2,confidence\n")
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    rows = [
+        # name, gamma, target, confidence
+        ("r0", 0.9, "T1", 1.0),
+        ("r1", 0.8, "T1", 0.9),
+        ("r2", 0.02, "T1", 0.9),   # low gamma
+        ("r3", 0.7, "T2", 0.6),    # low confidence
+        ("r4", 0.7, "T2", 0.8),
+        ("r5", 0, "NA", 0),
+    ]
+    p = tmp_path / "res.csv"
+    p.write_text(HEADER + "".join(
+        f"{n},100,{g},{t},50,NA,0,{c}\n" for n, g, t, c in rows))
+    return p
+
+
+def _lines(capsys):
+    return capsys.readouterr().out.strip().splitlines()
+
+
+def test_abundance_plain(csv_path, capsys):
+    assert main(["abundance", "-R", str(csv_path)]) == 0
+    out = _lines(capsys)
+    assert out[0] == "Name,Count,Proportion_All(%),Proportion_Classified(%)"
+    d = {l.split(",")[0]: l.split(",")[1:] for l in out[1:]}
+    assert d["T1"][0] == "3" and d["T2"][0] == "2" and d["NA"][0] == "1"
+    # classified proportions over 5 assigned reads; NA shows '-'
+    assert d["T1"][2] == "60.0000"
+    assert d["NA"][2] == "-"
+
+
+def test_abundance_min_confidence(csv_path, capsys):
+    assert main(["abundance", "-R", str(csv_path),
+                 "--min-confidence", "0.75"]) == 0
+    d = {l.split(",")[0]: l.split(",")[1] for l in _lines(capsys)[1:]}
+    # r3 (conf 0.6) becomes NA
+    assert d["T2"] == "1" and d["NA"] == "2"
+
+
+def test_abundance_highconfidence(csv_path, capsys):
+    assert main(["abundance", "-R", str(csv_path), "--highconfidence"]) == 0
+    d = {l.split(",")[0]: l.split(",")[1] for l in _lines(capsys)[1:]}
+    # r2 fails gamma>=0.03, r3 fails conf>=0.75
+    assert d["T1"] == "2" and d["T2"] == "1" and d["NA"] == "3"
+
+
+def test_density_confidence(csv_path, capsys):
+    assert main(["density", "-R", str(csv_path), "--bins", "5"]) == 0
+    out = _lines(capsys)
+    assert out[0] == "confidence_bin,count,fraction"
+    counts = [int(l.split(",")[1]) for l in out[1:]]
+    assert sum(counts) == 5  # NA row excluded
+    assert len(counts) == 5
+
+
+def test_density_gamma(csv_path, capsys):
+    assert main(["density", "-R", str(csv_path), "--by", "gamma",
+                 "--bins", "10"]) == 0
+    out = _lines(capsys)
+    assert out[0] == "gamma_bin,count,fraction"
+    assert sum(int(l.split(",")[1]) for l in out[1:]) == 5
+
+
+def test_density_not_a_csv(tmp_path, capsys):
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n1,2\n")
+    assert main(["density", "-R", str(p)]) == 1
