@@ -102,6 +102,43 @@ void pack_block(const uint8_t* buf,
     }
 }
 
+// Pack records straight into the 2-bit wire format the device step
+// consumes: packed2 [nrec, Lp/4] (4 bases/byte, little-endian 2-bit
+// lanes) + vbits [nrec, Lp/8] (validity bitmask, little-endian),
+// Lp a multiple of 8.  Fuses pack_block + the host bit-packing pass
+// (codec.pack_codes) into one sweep with no [R, L] byte matrix —
+// the same single-pass packing role as the reference's container
+// encoder (src/CuCLARK_hh.hh:1608-1763).  Non-ACGT chars occupy a
+// position with valid bit 0; newlines/CR are skipped.
+void pack_block2(const uint8_t* buf,
+                 const int64_t* seq_s, const int64_t* seq_e, int64_t nrec,
+                 uint8_t* packed2, uint8_t* vbits, int64_t Lp,
+                 int64_t* lengths) {
+    init_lut();
+    const int64_t W2 = Lp / 4, WV = Lp / 8;
+    for (int64_t r = 0; r < nrec; r++) {
+        uint8_t* p2 = packed2 + r * W2;
+        uint8_t* vb = vbits + r * WV;
+        memset(p2, 0, W2);
+        memset(vb, 0, WV);
+        int64_t w = 0, len = 0;
+        for (int64_t i = seq_s[r]; i < seq_e[r]; i++) {
+            uint8_t ch = buf[i];
+            if (ch == '\n' || ch == '\r') continue;
+            if (w < Lp) {
+                uint8_t c = LUT[ch];
+                if (c != 4) {
+                    p2[w >> 2] |= (uint8_t)(c << ((w & 3) * 2));
+                    vb[w >> 3] |= (uint8_t)(1u << (w & 7));
+                }
+                w++;
+            }
+            len++;
+        }
+        lengths[r] = len;
+    }
+}
+
 // Rolling canonical k-mer extraction over one sequence (bytes may
 // include newlines, skipped).  Non-ACGT resets the window (part
 // semantics).  Every overlapping k-mer — the full-mode build walk

@@ -200,3 +200,17 @@ def pack_block_dispatch(buf, seq_s, seq_e, max_len, n_rows=None):
     if native.available():
         return native.pack_block(buf, seq_s, seq_e, max_len, n_rows)
     return pack_block(buf, seq_s, seq_e, max_len, n_rows)
+
+
+def pack_block2_dispatch(buf, seq_s, seq_e, max_len, n_rows=None):
+    """Pack records straight into the 2-bit wire format (packed2,
+    vbits, lengths).  One fused native sweep when available; the
+    two-pass numpy fallback (pack_block + codec.pack_codes) is
+    bit-identical."""
+    from cuclark_tpu import native
+
+    if native.available():
+        return native.pack_block2(buf, seq_s, seq_e, max_len, n_rows)
+    codes, lengths = pack_block(buf, seq_s, seq_e, max_len, n_rows)
+    packed2, vbits = codec.pack_codes(codes)
+    return packed2, vbits, lengths

@@ -50,6 +50,9 @@ def _build() -> ctypes.CDLL | None:
     lib.pack_block.restype = None
     lib.pack_block.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P,
                                ctypes.c_int64, _I64P]
+    lib.pack_block2.restype = None
+    lib.pack_block2.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P,
+                                _U8P, ctypes.c_int64, _I64P]
     lib.extract_canonical.restype = ctypes.c_int64
     lib.extract_canonical.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int32,
                                       _U64P]
@@ -146,6 +149,31 @@ def pack_block(buf: np.ndarray, seq_s, seq_e, max_len: int,
             nrec, codes, max_len, lengths,
         )
     return codes, lengths
+
+
+def pack_block2(buf: np.ndarray, seq_s, seq_e, max_len: int,
+                n_rows: int | None = None):
+    """Pack records straight into the device wire format.
+
+    Returns (packed2 uint8 [R, Lp/4], vbits uint8 [R, Lp/8],
+    lengths int64 [R]) with Lp = max_len rounded up to a multiple of 8;
+    padding rows/positions have all-zero validity bits.  Bit-identical
+    to pack_block + codec.pack_codes, one native sweep."""
+    lib = _lib()
+    nrec = len(seq_s)
+    R = n_rows if n_rows is not None else nrec
+    Lp = -(-max_len // 8) * 8
+    packed2 = np.zeros((R, Lp // 4), np.uint8)
+    vbits = np.zeros((R, Lp // 8), np.uint8)
+    lengths = np.zeros(R, np.int64)
+    if nrec:
+        lib.pack_block2(
+            np.ascontiguousarray(buf),
+            np.ascontiguousarray(seq_s, np.int64),
+            np.ascontiguousarray(seq_e, np.int64),
+            nrec, packed2, vbits, Lp, lengths,
+        )
+    return packed2, vbits, lengths
 
 
 def _as_u8(seq) -> np.ndarray:

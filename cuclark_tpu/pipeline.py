@@ -110,6 +110,23 @@ def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
 score_step = jax.jit(score.score_labels)
 
 
+def _host_prefetch(*arrs):
+    """Start async device->host copies for in-flight results.
+
+    The blocking np.asarray at flush time otherwise serializes the D2H
+    transfer with host formatting (measured ~60 ms per 16K-read batch
+    through the remote relay — the dominant e2e cost); enqueueing the
+    copy at dispatch time overlaps it with the next batches' compute.
+    Multi-host global arrays (non-fully-addressable) skip: only their
+    local shards are read back, via ShardedClassifier.local_rows."""
+    for a in arrs:
+        if a is not None and getattr(a, "is_fully_addressable", True):
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                return
+
+
 @dataclass
 class ReadBatch:
     """Host-side packed batch."""
@@ -191,9 +208,28 @@ class Classifier:
                 return b
         return int(np.ceil((max_len + 1) / 128) * 128)
 
-    def _device_step(self, codes: np.ndarray):
+    def _put_wire(self, wire):
+        """Start the host->device transfer of a wire batch.
+
+        Called from the producer (prefetch) thread so the H2D copy
+        overlaps result formatting of earlier batches; jnp.asarray in
+        the consumer then passes the device arrays through untouched.
+        Sharded/streaming paths keep host arrays — they place with
+        their own shardings per part/mesh."""
+        if self._sharded is not None or self.stream_parts > 1:
+            return wire
+        p2, vb = wire
+        return jnp.asarray(p2), jnp.asarray(vb)
+
+    def _device_step(self, wire):
+        """Dispatch one device step on a wire-format batch.
+
+        wire: (packed2 uint8 [R, Lp/4], vbits uint8 [R, Lp/8]) from
+        fast_parse.pack_block2_dispatch / codec.pack_codes — packing
+        happens in the producer (prefetch) thread so it overlaps device
+        compute and CSV formatting."""
         db = self.db
-        packed2, vbits = codec.pack_codes(codes)
+        packed2, vbits = wire
         if self._sharded is not None:
             nd = self._sharded.num_data
             if packed2.shape[0] % nd:
@@ -281,7 +317,8 @@ class Classifier:
 
     def _packed_batches(self, buf, buf2, name_s, name_e, seq_s, seq_e,
                         seq_s2, seq_e2):
-        """Yield (codes, (ns, ne), lengths, cnt) batches."""
+        """Yield ((packed2, vbits), (ns, ne), lengths, cnt) batches in
+        the 2-bit wire format (codec.pack_codes layout)."""
         from cuclark_tpu.io import fast_parse
 
         paired = buf2 is not None
@@ -300,21 +337,22 @@ class Classifier:
                     break
                 hi = lo + max(1, self.MAX_BATCH_CELLS // bin_len)
             cnt = hi - lo
-            codes1, len1 = fast_parse.pack_block_dispatch(
-                buf, seq_s[lo:hi], seq_e[lo:hi],
-                self._bin_for_range(
-                    buf, seq_s[lo:hi], seq_e[lo:hi], buf2,
-                    None if buf2 is None else seq_s2[lo:hi],
-                    None if buf2 is None else seq_e2[lo:hi]),
-                n_rows=cnt,
-            )
+            L = self._bin_for_range(
+                buf, seq_s[lo:hi], seq_e[lo:hi], buf2,
+                None if buf2 is None else seq_s2[lo:hi],
+                None if buf2 is None else seq_e2[lo:hi])
             if paired:
+                codes1, len1 = fast_parse.pack_block_dispatch(
+                    buf, seq_s[lo:hi], seq_e[lo:hi], L, n_rows=cnt)
                 codes, lengths = _merge_paired(
                     codes1, len1, buf2, seq_s2[lo:hi], seq_e2[lo:hi],
                     codes1.shape[1])
+                wire = codec.pack_codes(codes)
             else:
-                codes, lengths = codes1, len1
-            yield codes, (name_s[lo:hi], name_e[lo:hi]), lengths, cnt
+                p2, vb, lengths = fast_parse.pack_block2_dispatch(
+                    buf, seq_s[lo:hi], seq_e[lo:hi], L, n_rows=cnt)
+                wire = (p2, vb)
+            yield wire, (name_s[lo:hi], name_e[lo:hi]), lengths, cnt
             lo = hi
 
     def classify_file(self, path, paired_path=None, skip: int = 0,
@@ -333,10 +371,10 @@ class Classifier:
         paired = buf2 is not None
 
         def packed():
-            for codes, (ns, ne), lengths, cnt in self._packed_batches(
+            for wire, (ns, ne), lengths, cnt in self._packed_batches(
                     buf, buf2, *scan):
                 names = fast_parse.names_of(buf, ns, ne)
-                yield codes, names, lengths, cnt
+                yield self._put_wire(wire), names, lengths, cnt
 
         if self.stream_parts > 1:
             group = []
@@ -355,8 +393,9 @@ class Classifier:
         # transfers overlap device compute (the reference's pipeline
         # scheduler role, src/CuCLARK_hh.hh:1738-1761)
         inflight = deque()
-        for codes, names, lengths, cnt in _prefetch(packed()):
-            out = self._device_step(codes)  # async dispatch
+        for wire, names, lengths, cnt in _prefetch(packed()):
+            out = self._device_step(wire)  # async dispatch
+            _host_prefetch(out[0], out[1])
             inflight.append((out[0], out[1], names, lengths, cnt))
             if len(inflight) > 3:
                 yield from self._emit(*inflight.popleft(), paired=paired)
@@ -457,9 +496,14 @@ class Classifier:
                         buf, ns[:cnt], ne[:cnt], tname_bytes, tname_off))
                 total_rows += cnt
 
-            for codes, (ns, ne), lengths, cnt in _prefetch(
-                    self._packed_batches(buf, buf2, *scan)):
-                out = self._device_step(codes)
+            def put_batches():
+                for wire, nsne, lengths, cnt in self._packed_batches(
+                        buf, buf2, *scan):
+                    yield self._put_wire(wire), nsne, lengths, cnt
+
+            for wire, (ns, ne), lengths, cnt in _prefetch(put_batches()):
+                out = self._device_step(wire)
+                _host_prefetch(*out)
                 inflight.append((out, ns, ne, lengths, cnt))
                 if len(inflight) > 3:
                     flush_one()
@@ -485,8 +529,8 @@ class Classifier:
         rows = db.nb // P
         on_mesh = self.mesh is not None
 
-        def pack_dev(c):
-            p2, vb = codec.pack_codes(c)
+        def pack_dev(wire):
+            p2, vb = wire
             if not on_mesh:
                 return jnp.asarray(p2), jnp.asarray(vb)
             nd = self.mesh.shape["data"]
@@ -499,8 +543,8 @@ class Classifier:
             sh = NamedSharding(self.mesh, Pspec("data", None))
             return jax.device_put(p2, sh), jax.device_put(vb, sh)
 
-        # pack + transfer each batch once; only DB parts restream per cycle
-        dev = [pack_dev(c) for c, _, _, _ in group]
+        # transfer each batch once; only DB parts restream per cycle
+        dev = [pack_dev(w) for w, _, _, _ in group]
         acc = [np.zeros((p2.shape[0], 4 * p2.shape[1] - db.k + 1), np.int32)
                for p2, _ in dev]
         if on_mesh:
@@ -611,7 +655,7 @@ class Classifier:
             max_len = max((len(s) for _, s in batch), default=1)
             L = max(self._bin_for(max_len), self.db.k)
             rb = pack_reads(batch, len(batch), L)
-            return rb.codes, rb.names, rb.lengths, rb.count
+            return codec.pack_codes(rb.codes), rb.names, rb.lengths, rb.count
 
         batch = []
         for rec in records:
@@ -631,7 +675,8 @@ class Classifier:
         max_len = max((len(s) for _, s in batch), default=1)
         L = max(self._bin_for(max_len), self.db.k)
         rb = pack_reads(batch, len(batch), L)
-        out = self._device_step(rb.codes)
+        out = self._device_step(codec.pack_codes(rb.codes))
+        _host_prefetch(out[0], out[1])
         prev_rows = (
             self._emit(*inflight, paired=paired) if inflight is not None else iter(())
         )

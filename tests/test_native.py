@@ -115,3 +115,34 @@ def test_native_q4_build_matches_numpy_probe():
     q = rng.integers(0, 1 << 60, size=10000, dtype=np.uint64)
     q = q[~np.isin(q, km)]
     assert (db.probe_np(q) == 0).all()
+
+
+def test_pack_block2_matches_two_pass():
+    from cuclark_tpu import codec
+
+    text = ("@a\nACGTacgtNNACGTA\n+\nIIIIIIIIIIIIIII\n@b\nGG\n+\nII\n"
+            "@c\nTTTTTTTTTTTTTTTTTTTTT\n+\nIIIIIIIIIIIIIIIIIIIII\n")
+    buf = np.frombuffer(text.encode(), np.uint8)
+    ns, ne, ss, se = fast_parse.scan_fastq(buf)
+    for L, n_rows in ((12, 3), (16, 5), (27, 3)):
+        p2, vb, ln = native.pack_block2(buf, ss, se, L, n_rows=n_rows)
+        codes, ln2 = fast_parse.pack_block(buf, ss, se, -(-L // 8) * 8,
+                                           n_rows=n_rows)
+        w2, wv = codec.pack_codes(codes)
+        np.testing.assert_array_equal(p2, w2)
+        np.testing.assert_array_equal(vb, wv)
+        np.testing.assert_array_equal(ln, ln2)
+
+
+def test_pack_block2_multiline_fasta():
+    from cuclark_tpu import codec
+
+    text = ">s1\nACGT\nTTGG\nAC\n>s2\nNNAC\nGT\n"
+    buf = np.frombuffer(text.encode(), np.uint8)
+    ns, ne, ss, se = native.scan(buf)
+    p2, vb, ln = native.pack_block2(buf, ss, se, 16)
+    codes, ln2 = native.pack_block(buf, ss, se, 16)
+    w2, wv = codec.pack_codes(codes)
+    np.testing.assert_array_equal(p2, w2)
+    np.testing.assert_array_equal(vb, wv)
+    np.testing.assert_array_equal(ln, ln2)
