@@ -343,6 +343,81 @@ int64_t build_q4(const uint64_t* kmers, const uint32_t* labels, int64_t n,
     return 0;
 }
 
+// ---- occurrence reduction (RemoveCommon analog) ----
+// Stable LSD radix sort of (kmer, label, count) occurrence records by
+// k-mer, then a single run sweep keeping k-mers whose occurrences all
+// carry one label (target-specific, multiplicity==1 semantics of
+// src/HashTableStorage_hh.hh:242-292) with total count > min_count.
+// Replaces numpy argsort + fancy-gather + reduceat (measured ~10x
+// slower) for the hot non-centromere path; the centromere (label2)
+// path stays in numpy.
+//
+// A and B are caller-allocated scratch of 2*n u64 each, holding
+// interleaved records {km, (lb<<32)|ct}.  has_ct == 0 means every
+// occurrence counts 1 (ct pointer ignored).  Returns the number of
+// surviving k-mers written to out_km/out_lb/out_ct.
+
+int64_t reduce_occurrences(const uint64_t* km, const uint32_t* lb,
+                           const uint32_t* ct, int32_t has_ct, int64_t n,
+                           int32_t key_bits, int32_t min_count,
+                           uint64_t* A, uint64_t* B,
+                           uint64_t* out_km, uint32_t* out_lb,
+                           uint32_t* out_ct) {
+    if (n == 0) return 0;
+    for (int64_t i = 0; i < n; i++) {
+        A[2 * i] = km[i];
+        A[2 * i + 1] = ((uint64_t)lb[i] << 32) | (has_ct ? ct[i] : 1u);
+    }
+    // 16-bit-digit LSD radix over the varying key bits
+    static const int DIG = 1 << 16;
+    int passes = (key_bits + 15) / 16;
+    int64_t* hist = new int64_t[DIG];
+    uint64_t* src = A;
+    uint64_t* dst = B;
+    for (int p = 0; p < passes; p++) {
+        const int sh = 16 * p;
+        memset(hist, 0, DIG * sizeof(int64_t));
+        for (int64_t i = 0; i < n; i++)
+            hist[(src[2 * i] >> sh) & 0xFFFF]++;
+        int64_t acc = 0;
+        for (int d = 0; d < DIG; d++) {
+            int64_t c = hist[d];
+            hist[d] = acc;
+            acc += c;
+        }
+        for (int64_t i = 0; i < n; i++) {
+            int64_t pos = hist[(src[2 * i] >> sh) & 0xFFFF]++;
+            dst[2 * pos] = src[2 * i];
+            dst[2 * pos + 1] = src[2 * i + 1];
+        }
+        uint64_t* t = src; src = dst; dst = t;
+    }
+    delete[] hist;
+    // run sweep: keep single-label runs with count > min_count
+    int64_t out = 0;
+    int64_t i = 0;
+    while (i < n) {
+        const uint64_t key = src[2 * i];
+        const uint32_t first = (uint32_t)(src[2 * i + 1] >> 32);
+        uint64_t total = src[2 * i + 1] & 0xFFFFFFFFull;
+        bool specific = true;
+        int64_t j = i + 1;
+        for (; j < n && src[2 * j] == key; j++) {
+            if ((uint32_t)(src[2 * j + 1] >> 32) != first) specific = false;
+            total += src[2 * j + 1] & 0xFFFFFFFFull;
+        }
+        if (total > 0xFFFFFFFFull) total = 0xFFFFFFFFull;
+        if (specific && (min_count <= 0 || total > (uint64_t)min_count)) {
+            out_km[out] = key;
+            out_lb[out] = first;
+            out_ct[out] = (uint32_t)total;
+            out++;
+        }
+        i = j;
+    }
+    return out;
+}
+
 // ---- CLARK CSV row formatting ----
 // Exact row format of printExtendedResultsSynced (normal mode),
 // src/CuCLARK_hh.hh:2127-2135: "%s,%u,%g,%s,%u,%s,%u,%g\n" with the

@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from cuclark_tpu import codec
+from cuclark_tpu import codec, native
 from cuclark_tpu.config import DBConfig
 from cuclark_tpu.hashdb import KmerDB, build_table
 from cuclark_tpu.io import fasta
@@ -295,6 +295,9 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
     spill = None
 
     def push(km, lid_or_lb, ct):
+        """ct None = one occurrence each (sequence inputs); kept as a
+        sentinel so the all-ones counts array is never materialized on
+        the in-RAM path (discriminate counts run lengths instead)."""
         nonlocal held, spill
         lb = (np.full(len(km), lid_or_lb, dtype=np.uint32)
               if np.isscalar(lid_or_lb) else lid_or_lb)
@@ -306,7 +309,8 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
             if spill is None:
                 spill = _SpillStore(spill_dir, cfg.k)
             for a, b, c in zip(km_chunks, lb_chunks, ct_chunks):
-                spill.add(a, b, c)
+                spill.add(a, b,
+                          np.ones(len(a), np.uint32) if c is None else c)
             km_chunks.clear(), lb_chunks.clear(), ct_chunks.clear()
             held = 0
 
@@ -334,21 +338,27 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
             else:
                 km = extract_canonical_np(seq, cfg.k)
             if len(km):
-                push(km, lid, np.ones(len(km), dtype=np.uint32))
+                push(km, lid, None)
         if progress:
             progress(fp, label)
 
     if spill is not None:
         for a, b, c in zip(km_chunks, lb_chunks, ct_chunks):
-            spill.add(a, b, c)
+            spill.add(a, b, np.ones(len(a), np.uint32) if c is None else c)
         km_chunks.clear(), lb_chunks.clear(), ct_chunks.clear()
         return (np.empty(0, np.uint64), np.empty(0, np.uint32),
-                np.empty(0, np.uint32), space, spill)
+                None, space, spill)
     if not km_chunks:
         return (np.empty(0, np.uint64), np.empty(0, np.uint32),
-                np.empty(0, np.uint32), space, None)
+                None, space, None)
+    if all(c is None for c in ct_chunks):
+        cts = None  # pure sequence input: counts are the run lengths
+    else:
+        cts = np.concatenate([
+            np.ones(len(a), np.uint32) if c is None else c
+            for a, c in zip(km_chunks, ct_chunks)])
     return (np.concatenate(km_chunks), np.concatenate(lb_chunks),
-            np.concatenate(ct_chunks), space, None)
+            cts, space, None)
 
 
 def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0,
@@ -379,6 +389,12 @@ def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0,
     Returns (unique_kmers u64, labels u32, counts u32)."""
     if len(kmers) == 0:
         return kmers, labels, np.empty(0, np.uint32)
+    centromeres = label_space is not None and label_space.has_centromeres
+    if not centromeres and native.available():
+        # hot path: native radix sort + run sweep (~10x the numpy
+        # argsort/gather/reduceat chain); centromere label2 bookkeeping
+        # stays below in numpy
+        return native.reduce_occurrences(kmers, labels, counts, min_count)
     order = np.argsort(kmers, kind="stable")
     sk = kmers[order]
     sl = labels[order]
@@ -391,7 +407,7 @@ def discriminate(kmers: np.ndarray, labels: np.ndarray, min_count: int = 0,
         cnt = np.add.reduceat(counts[order].astype(np.uint64), starts)
         cnt = np.minimum(cnt, 0xFFFFFFFF).astype(np.uint32)
 
-    if label_space is not None and label_space.has_centromeres:
+    if centromeres:
         run_id = np.cumsum(np.r_[False, sk[1:] != sk[:-1]])
         l0 = first[run_id]
         cls = label_space.cls

@@ -83,6 +83,11 @@ def _build() -> ctypes.CDLL | None:
         _U64P, _U32P, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         _U32P, _U8P, ctypes.c_int64]
+    lib.reduce_occurrences.restype = ctypes.c_int64
+    lib.reduce_occurrences.argtypes = [
+        _U64P, _U32P, _U32P, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        _U64P, _U64P, _U64P, _U32P, _U32P]
     lib.format_rows_ext.restype = ctypes.c_int64
     lib.format_rows_ext.argtypes = [
         ctypes.c_int64, ctypes.c_int64, _U32P,
@@ -274,6 +279,35 @@ def format_rows_ext(counts, norm, gamma, ibest, best, isecond, second,
     if w < 0:
         raise RuntimeError("format_rows_ext buffer overflow")
     return out.raw[:w]
+
+
+def reduce_occurrences(kmers: np.ndarray, labels: np.ndarray,
+                       counts: np.ndarray | None, min_count: int):
+    """Sort-reduce (kmer, label, count) occurrences to target-specific
+    k-mers (RemoveCommon multiplicity==1 semantics) via the native
+    radix sort — the hot path of the DB build.  counts None = 1 each.
+
+    Returns (kmers u64 ascending, labels u32, counts u32)."""
+    lib = _lib()
+    n = len(kmers)
+    if n == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint32),
+                np.empty(0, np.uint32))
+    kmers = np.ascontiguousarray(kmers, np.uint64)
+    key_bits = int(int(kmers.max()).bit_length())
+    A = np.empty(2 * n, np.uint64)
+    B = np.empty(2 * n, np.uint64)
+    out_km = np.empty(n, np.uint64)
+    out_lb = np.empty(n, np.uint32)
+    out_ct = np.empty(n, np.uint32)
+    has_ct = counts is not None
+    ct = (np.ascontiguousarray(counts, np.uint32) if has_ct
+          else np.empty(1, np.uint32))
+    m = lib.reduce_occurrences(
+        kmers, np.ascontiguousarray(labels, np.uint32), ct,
+        1 if has_ct else 0, n, key_bits, min_count,
+        A, B, out_km, out_lb, out_ct)
+    return out_km[:m].copy(), out_lb[:m].copy(), out_ct[:m].copy()
 
 
 def build_q4(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,

@@ -146,3 +146,46 @@ def test_pack_block2_multiline_fasta():
     np.testing.assert_array_equal(p2, w2)
     np.testing.assert_array_equal(vb, wv)
     np.testing.assert_array_equal(ln, ln2)
+
+
+def test_reduce_occurrences_matches_numpy():
+    """Native radix-sort reduce == the numpy argsort/reduceat path."""
+    import os
+
+    from cuclark_tpu.db_build import builder
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    kmers = rng.integers(0, 1 << 42, size=n, dtype=np.uint64)
+    # force duplicate k-mers with mixed labels
+    kmers[n // 2:] = kmers[: n // 2]
+    labels = rng.integers(1, 50, size=n).astype(np.uint32)
+    labels[n // 2: n // 2 + n // 4] = labels[: n // 4]  # some same-label dups
+    counts = rng.integers(1, 5, size=n).astype(np.uint32)
+
+    for ct in (None, counts):
+        for mc in (0, 2):
+            got = native.reduce_occurrences(kmers, labels, ct, mc)
+            os.environ["CUCLARK_NO_NATIVE"] = "1"
+            try:
+                import importlib
+
+                native._LIB, native._TRIED = None, True
+                want = builder.discriminate(kmers, labels, mc, ct)
+            finally:
+                del os.environ["CUCLARK_NO_NATIVE"]
+                native._TRIED = False
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1].astype(np.uint32))
+            np.testing.assert_array_equal(got[2], want[2].astype(np.uint32))
+
+
+def test_reduce_occurrences_count_saturation():
+    """Totals clamp at u32 max like the numpy path."""
+    kmers = np.array([7, 7, 9], np.uint64)
+    labels = np.array([3, 3, 4], np.uint32)
+    counts = np.array([0xFFFFFFFF, 5, 1], np.uint32)
+    km, lb, ct = native.reduce_occurrences(kmers, labels, counts, 0)
+    np.testing.assert_array_equal(km, [7, 9])
+    np.testing.assert_array_equal(lb, [3, 4])
+    np.testing.assert_array_equal(ct, [0xFFFFFFFF, 1])
