@@ -10,8 +10,13 @@
 // Exposed as a plain C ABI consumed through ctypes (no pybind11 in this
 // environment).  Single pass over bytes, no large temporaries.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -344,18 +349,29 @@ int64_t build_q4(const uint64_t* kmers, const uint32_t* labels, int64_t n,
 }
 
 // ---- occurrence reduction (RemoveCommon analog) ----
-// Stable LSD radix sort of (kmer, label, count) occurrence records by
-// k-mer, then a single run sweep keeping k-mers whose occurrences all
-// carry one label (target-specific, multiplicity==1 semantics of
+// Sorts (kmer, label, count) occurrence records by k-mer, then a
+// single run sweep keeping k-mers whose occurrences all carry one
+// label (target-specific, multiplicity==1 semantics of
 // src/HashTableStorage_hh.hh:242-292) with total count > min_count.
-// Replaces numpy argsort + fancy-gather + reduceat (measured ~10x
-// slower) for the hot non-centromere path; the centromere (label2)
-// path stays in numpy.
+// Replaces numpy argsort + fancy-gather + reduceat for the hot
+// non-centromere path; the centromere (label2) path stays in numpy.
+//
+// Sort strategy: a multi-pass LSD radix is memory-latency-bound here
+// (measured no faster than argsort on this host) — instead do ONE
+// MSD counting-partition on the top bits so each partition fits L2,
+// then sort partitions in cache with std::sort, OpenMP across
+// partitions.  Record order within equal k-mers is irrelevant: the
+// sweep only needs "all labels equal?" + the count total, both
+// order-independent.
 //
 // A and B are caller-allocated scratch of 2*n u64 each, holding
 // interleaved records {km, (lb<<32)|ct}.  has_ct == 0 means every
 // occurrence counts 1 (ct pointer ignored).  Returns the number of
 // surviving k-mers written to out_km/out_lb/out_ct.
+
+struct OccRec {
+    uint64_t km, pay;
+};
 
 int64_t reduce_occurrences(const uint64_t* km, const uint32_t* lb,
                            const uint32_t* ct, int32_t has_ct, int64_t n,
@@ -364,47 +380,81 @@ int64_t reduce_occurrences(const uint64_t* km, const uint32_t* lb,
                            uint64_t* out_km, uint32_t* out_lb,
                            uint32_t* out_ct) {
     if (n == 0) return 0;
+    OccRec* recs = (OccRec*)A;
+#pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
-        A[2 * i] = km[i];
-        A[2 * i + 1] = ((uint64_t)lb[i] << 32) | (has_ct ? ct[i] : 1u);
+        recs[i].km = km[i];
+        recs[i].pay = ((uint64_t)lb[i] << 32) | (has_ct ? ct[i] : 1u);
     }
-    // 16-bit-digit LSD radix over the varying key bits
-    static const int DIG = 1 << 16;
-    int passes = (key_bits + 15) / 16;
-    int64_t* hist = new int64_t[DIG];
-    uint64_t* src = A;
-    uint64_t* dst = B;
-    for (int p = 0; p < passes; p++) {
-        const int sh = 16 * p;
-        memset(hist, 0, DIG * sizeof(int64_t));
-        for (int64_t i = 0; i < n; i++)
-            hist[(src[2 * i] >> sh) & 0xFFFF]++;
-        int64_t acc = 0;
-        for (int d = 0; d < DIG; d++) {
-            int64_t c = hist[d];
-            hist[d] = acc;
-            acc += c;
+    // partition width: aim for ~32K records (512 KB) per partition
+    int pbits = 0;
+    while ((n >> pbits) > 32768 && pbits < 14) pbits++;
+    if (pbits > key_bits) pbits = key_bits;
+    const auto by_km = [](const OccRec& a, const OccRec& b) {
+        return a.km < b.km;
+    };
+    OccRec* srt;
+    if (pbits == 0) {
+        std::sort(recs, recs + n, by_km);
+        srt = recs;
+    } else {
+        OccRec* part = (OccRec*)B;
+        const int D = 1 << pbits;
+        const int sh = key_bits - pbits;
+        int nt = 1;
+#ifdef _OPENMP
+        nt = omp_get_max_threads();
+#endif
+        int64_t* hist = new int64_t[(int64_t)nt * D]();
+        int64_t* bounds = new int64_t[D + 1];
+#pragma omp parallel num_threads(nt)
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+            int64_t* h = hist + (int64_t)t * D;
+            for (int64_t i = lo; i < hi; i++)
+                h[recs[i].km >> sh]++;
+#pragma omp barrier
+#pragma omp single
+            {
+                // digit-major exclusive prefix across threads
+                int64_t acc = 0;
+                for (int d = 0; d < D; d++) {
+                    bounds[d] = acc;
+                    for (int tt = 0; tt < nt; tt++) {
+                        int64_t c = hist[(int64_t)tt * D + d];
+                        hist[(int64_t)tt * D + d] = acc;
+                        acc += c;
+                    }
+                }
+                bounds[D] = acc;
+            }
+            for (int64_t i = lo; i < hi; i++)
+                part[h[recs[i].km >> sh]++] = recs[i];
+#pragma omp barrier
+#pragma omp for schedule(dynamic, 1)
+            for (int d = 0; d < D; d++)
+                std::sort(part + bounds[d], part + bounds[d + 1], by_km);
         }
-        for (int64_t i = 0; i < n; i++) {
-            int64_t pos = hist[(src[2 * i] >> sh) & 0xFFFF]++;
-            dst[2 * pos] = src[2 * i];
-            dst[2 * pos + 1] = src[2 * i + 1];
-        }
-        uint64_t* t = src; src = dst; dst = t;
+        delete[] hist;
+        delete[] bounds;
+        srt = part;
     }
-    delete[] hist;
     // run sweep: keep single-label runs with count > min_count
     int64_t out = 0;
     int64_t i = 0;
     while (i < n) {
-        const uint64_t key = src[2 * i];
-        const uint32_t first = (uint32_t)(src[2 * i + 1] >> 32);
-        uint64_t total = src[2 * i + 1] & 0xFFFFFFFFull;
+        const uint64_t key = srt[i].km;
+        const uint32_t first = (uint32_t)(srt[i].pay >> 32);
+        uint64_t total = srt[i].pay & 0xFFFFFFFFull;
         bool specific = true;
         int64_t j = i + 1;
-        for (; j < n && src[2 * j] == key; j++) {
-            if ((uint32_t)(src[2 * j + 1] >> 32) != first) specific = false;
-            total += src[2 * j + 1] & 0xFFFFFFFFull;
+        for (; j < n && srt[j].km == key; j++) {
+            if ((uint32_t)(srt[j].pay >> 32) != first) specific = false;
+            total += srt[j].pay & 0xFFFFFFFFull;
         }
         if (total > 0xFFFFFFFFull) total = 0xFFFFFFFFull;
         if (specific && (min_count <= 0 || total > (uint64_t)min_count)) {

@@ -33,8 +33,8 @@ def _build() -> ctypes.CDLL | None:
     cache = Path(tempfile.gettempdir()) / f"cuclark_host_ops_{tag}.so"
     if not cache.exists():
         tmp = cache.with_suffix(".tmp.so")
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               str(_SRC), "-o", str(tmp)]
+        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+               "-fPIC", str(_SRC), "-o", str(tmp)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except (subprocess.SubprocessError, FileNotFoundError):
@@ -307,7 +307,11 @@ def reduce_occurrences(kmers: np.ndarray, labels: np.ndarray,
         kmers, np.ascontiguousarray(labels, np.uint32), ct,
         1 if has_ct else 0, n, key_bits, min_count,
         A, B, out_km, out_lb, out_ct)
-    return out_km[:m].copy(), out_lb[:m].copy(), out_ct[:m].copy()
+    # in-place shrink (realloc) instead of slicing, which would either
+    # copy or pin the full n-sized buffers alive via views
+    for a in (out_km, out_lb, out_ct):
+        a.resize(m, refcheck=False)
+    return out_km, out_lb, out_ct
 
 
 def build_q4(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,
