@@ -93,6 +93,9 @@ void pack_block(const uint8_t* buf,
                 const int64_t* seq_s, const int64_t* seq_e, int64_t nrec,
                 uint8_t* codes, int64_t L, int64_t* lengths) {
     init_lut();
+    // rows are disjoint -> embarrassingly parallel (the reference packs
+    // with an OpenMP team too, src/CuCLARK_hh.hh:1609-1763)
+#pragma omp parallel for schedule(static) if (nrec >= 256)
     for (int64_t r = 0; r < nrec; r++) {
         uint8_t* row = codes + r * L;
         memset(row, 4, L);
@@ -121,6 +124,7 @@ void pack_block2(const uint8_t* buf,
                  int64_t* lengths) {
     init_lut();
     const int64_t W2 = Lp / 4, WV = Lp / 8;
+#pragma omp parallel for schedule(static) if (nrec >= 256)
     for (int64_t r = 0; r < nrec; r++) {
         uint8_t* p2 = packed2 + r * W2;
         uint8_t* vb = vbits + r * WV;
@@ -409,11 +413,16 @@ int64_t reduce_occurrences(const uint64_t* km, const uint32_t* lb,
         int64_t* bounds = new int64_t[D + 1];
 #pragma omp parallel num_threads(nt)
         {
-            int t = 0;
+            // Per-thread ranges derive from the ACTUAL team size (the
+            // num_threads clause is a cap, not a guarantee: OMP_DYNAMIC
+            // or nesting may deliver fewer threads; T <= nt always, so
+            // the nt-row hist allocation stays sufficient).
+            int t = 0, T = 1;
 #ifdef _OPENMP
             t = omp_get_thread_num();
+            T = omp_get_num_threads();
 #endif
-            const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+            const int64_t lo = n * t / T, hi = n * (t + 1) / T;
             int64_t* h = hist + (int64_t)t * D;
             for (int64_t i = lo; i < hi; i++)
                 h[recs[i].km >> sh]++;
@@ -424,7 +433,7 @@ int64_t reduce_occurrences(const uint64_t* km, const uint32_t* lb,
                 int64_t acc = 0;
                 for (int d = 0; d < D; d++) {
                     bounds[d] = acc;
-                    for (int tt = 0; tt < nt; tt++) {
+                    for (int tt = 0; tt < T; tt++) {
                         int64_t c = hist[(int64_t)tt * D + d];
                         hist[(int64_t)tt * D + d] = acc;
                         acc += c;
@@ -474,24 +483,25 @@ int64_t reduce_occurrences(const uint64_t* km, const uint32_t* lb,
 // read name truncated to OBJECTNAMEMAX-1 = 39 chars.
 
 #include <cstdio>
+#include <cstdlib>
 
-int64_t format_rows(int64_t n,
-                    const int64_t* norm, const double* gamma,
-                    const int32_t* ibest, const int32_t* best,
-                    const int32_t* isecond, const int32_t* second,
-                    const double* conf,
-                    const uint8_t* buf,
-                    const int64_t* name_s, const int64_t* name_e,
-                    const uint8_t* tnames, const int64_t* tname_off,
-                    char* out, int64_t cap) {
+static int64_t fmt_rows_range(int64_t lo_r, int64_t hi_r,
+                              const int64_t* norm, const double* gamma,
+                              const int32_t* ibest, const int32_t* best,
+                              const int32_t* isecond, const int32_t* second,
+                              const double* conf,
+                              const uint8_t* buf,
+                              const int64_t* name_s, const int64_t* name_e,
+                              const uint8_t* tnames, const int64_t* tname_off,
+                              char* out, int64_t cap) {
     int64_t w = 0;
-    for (int64_t i = 0; i < n; i++) {
+    for (int64_t i = lo_r; i < hi_r; i++) {
         int64_t nl = name_e[i] - name_s[i];
         if (nl > 39) nl = 39;
         int64_t t1 = ibest[i], t2 = isecond[i];
         int tl1 = (int)(tname_off[t1 + 1] - tname_off[t1]);
         int tl2 = (int)(tname_off[t2 + 1] - tname_off[t2]);
-        if (w + nl + tl1 + tl2 + 128 > cap) return -1;
+        if (w + nl + tl1 + tl2 + 160 > cap) return -1;
         int m = snprintf(out + w, cap - w,
                          "%.*s,%lld,%g,%.*s,%d,%.*s,%d,%g\n",
                          (int)nl, (const char*)(buf + name_s[i]),
@@ -505,25 +515,91 @@ int64_t format_rows(int64_t n,
     return w;
 }
 
+// OpenMP row formatting: per-thread contiguous record ranges format
+// into private scratch, then concatenate in order — the parallel
+// counterpart of the reference's threaded result writing
+// (src/CuCLARK_hh.hh:1755-1761, printExtendedResultsSynced).
+#define FMT_MAX_THREADS 16
+
+int64_t format_rows(int64_t n,
+                    const int64_t* norm, const double* gamma,
+                    const int32_t* ibest, const int32_t* best,
+                    const int32_t* isecond, const int32_t* second,
+                    const double* conf,
+                    const uint8_t* buf,
+                    const int64_t* name_s, const int64_t* name_e,
+                    const uint8_t* tnames, const int64_t* tname_off,
+                    char* out, int64_t cap) {
+    int nt = 1;
+#ifdef _OPENMP
+    if (n >= 4096) {
+        nt = omp_get_max_threads();
+        if (nt > FMT_MAX_THREADS) nt = FMT_MAX_THREADS;
+    }
+#endif
+    if (nt <= 1)
+        return fmt_rows_range(0, n, norm, gamma, ibest, best, isecond,
+                              second, conf, buf, name_s, name_e, tnames,
+                              tname_off, out, cap);
+    char* bufs[FMT_MAX_THREADS] = {nullptr};
+    int64_t lens[FMT_MAX_THREADS] = {0};
+    int T_sh = 1;
+#pragma omp parallel num_threads(nt)
+    {
+        int t = omp_get_thread_num(), T = omp_get_num_threads();
+#pragma omp single
+        T_sh = T;
+        const int64_t rlo = n * t / T, rhi = n * (t + 1) / T;
+        int64_t c = 64;
+        for (int64_t i = rlo; i < rhi; i++) {
+            int64_t nl = name_e[i] - name_s[i];
+            if (nl > 39) nl = 39;
+            c += nl + 160
+                 + (tname_off[ibest[i] + 1] - tname_off[ibest[i]])
+                 + (tname_off[isecond[i] + 1] - tname_off[isecond[i]]);
+        }
+        char* b = (char*)malloc((size_t)c);
+        bufs[t] = b;
+        lens[t] = b ? fmt_rows_range(rlo, rhi, norm, gamma, ibest, best,
+                                     isecond, second, conf, buf, name_s,
+                                     name_e, tnames, tname_off, b, c)
+                    : -1;
+    }
+    int64_t w = 0;
+    for (int t = 0; t < T_sh; t++) {
+        if (w >= 0) {
+            if (lens[t] < 0 || w + lens[t] > cap) w = -1;
+            else { memcpy(out + w, bufs[t], (size_t)lens[t]); w += lens[t]; }
+        }
+        free(bufs[t]);
+    }
+    return w;
+}
+
 // Extended-mode rows: one dense per-target hit-count column between
 // the name and Length (src/CuCLARK_hh.hh:2014-2031 reconstructs the
 // dense columns from sparse rows; here the host hands us the dense
 // [n, n_targets] counts matrix directly).
-int64_t format_rows_ext(int64_t n, int64_t n_targets,
-                        const uint32_t* counts,
-                        const int64_t* norm, const double* gamma,
-                        const int32_t* ibest, const int32_t* best,
-                        const int32_t* isecond, const int32_t* second,
-                        const double* conf,
-                        const uint8_t* buf,
-                        const int64_t* name_s, const int64_t* name_e,
-                        const uint8_t* tnames, const int64_t* tname_off,
-                        char* out, int64_t cap) {
+static int64_t fmt_rows_ext_range(int64_t lo_r, int64_t hi_r,
+                                  int64_t n_targets, const uint32_t* counts,
+                                  const int64_t* norm, const double* gamma,
+                                  const int32_t* ibest, const int32_t* best,
+                                  const int32_t* isecond,
+                                  const int32_t* second, const double* conf,
+                                  const uint8_t* buf,
+                                  const int64_t* name_s,
+                                  const int64_t* name_e,
+                                  const uint8_t* tnames,
+                                  const int64_t* tname_off,
+                                  char* out, int64_t cap) {
     int64_t w = 0;
-    for (int64_t i = 0; i < n; i++) {
+    for (int64_t i = lo_r; i < hi_r; i++) {
         int64_t nl = name_e[i] - name_s[i];
         if (nl > 39) nl = 39;
-        if (w + nl + 12 * (n_targets + 1) + 128 > cap) return -1;
+        int64_t t1 = ibest[i], t2 = isecond[i];
+        int tl1 = (int)(tname_off[t1 + 1] - tname_off[t1]);
+        int tl2 = (int)(tname_off[t2 + 1] - tname_off[t2]);
+        if (w + nl + 12 * (n_targets + 1) + tl1 + tl2 + 160 > cap) return -1;
         int m = snprintf(out + w, cap - w, "%.*s",
                          (int)nl, (const char*)(buf + name_s[i]));
         if (m < 0) return -1;
@@ -534,9 +610,6 @@ int64_t format_rows_ext(int64_t n, int64_t n_targets,
             if (m < 0) return -1;
             w += m;
         }
-        int64_t t1 = ibest[i], t2 = isecond[i];
-        int tl1 = (int)(tname_off[t1 + 1] - tname_off[t1]);
-        int tl2 = (int)(tname_off[t2 + 1] - tname_off[t2]);
         m = snprintf(out + w, cap - w,
                      ",%lld,%g,%.*s,%d,%.*s,%d,%g\n",
                      (long long)norm[i], gamma[i],
@@ -545,6 +618,64 @@ int64_t format_rows_ext(int64_t n, int64_t n_targets,
                      conf[i]);
         if (m < 0) return -1;
         w += m;
+    }
+    return w;
+}
+
+int64_t format_rows_ext(int64_t n, int64_t n_targets,
+                        const uint32_t* counts,
+                        const int64_t* norm, const double* gamma,
+                        const int32_t* ibest, const int32_t* best,
+                        const int32_t* isecond, const int32_t* second,
+                        const double* conf,
+                        const uint8_t* buf,
+                        const int64_t* name_s, const int64_t* name_e,
+                        const uint8_t* tnames, const int64_t* tname_off,
+                        char* out, int64_t cap) {
+    int nt = 1;
+#ifdef _OPENMP
+    if (n * (n_targets + 8) >= 65536) {
+        nt = omp_get_max_threads();
+        if (nt > FMT_MAX_THREADS) nt = FMT_MAX_THREADS;
+    }
+#endif
+    if (nt <= 1)
+        return fmt_rows_ext_range(0, n, n_targets, counts, norm, gamma,
+                                  ibest, best, isecond, second, conf, buf,
+                                  name_s, name_e, tnames, tname_off, out,
+                                  cap);
+    char* bufs[FMT_MAX_THREADS] = {nullptr};
+    int64_t lens[FMT_MAX_THREADS] = {0};
+    int T_sh = 1;
+#pragma omp parallel num_threads(nt)
+    {
+        int t = omp_get_thread_num(), T = omp_get_num_threads();
+#pragma omp single
+        T_sh = T;
+        const int64_t rlo = n * t / T, rhi = n * (t + 1) / T;
+        int64_t c = 64;
+        for (int64_t i = rlo; i < rhi; i++) {
+            int64_t nl = name_e[i] - name_s[i];
+            if (nl > 39) nl = 39;
+            c += nl + 12 * (n_targets + 1) + 160
+                 + (tname_off[ibest[i] + 1] - tname_off[ibest[i]])
+                 + (tname_off[isecond[i] + 1] - tname_off[isecond[i]]);
+        }
+        char* b = (char*)malloc((size_t)c);
+        bufs[t] = b;
+        lens[t] = b ? fmt_rows_ext_range(rlo, rhi, n_targets, counts, norm,
+                                         gamma, ibest, best, isecond,
+                                         second, conf, buf, name_s, name_e,
+                                         tnames, tname_off, b, c)
+                    : -1;
+    }
+    int64_t w = 0;
+    for (int t = 0; t < T_sh; t++) {
+        if (w >= 0) {
+            if (lens[t] < 0 || w + lens[t] > cap) w = -1;
+            else { memcpy(out + w, bufs[t], (size_t)lens[t]); w += lens[t]; }
+        }
+        free(bufs[t]);
     }
     return w;
 }

@@ -299,10 +299,20 @@ def _count_csv_rows(path) -> int:
 def cmd_abundance(args) -> int:
     """Per-target read counts + proportions from a result CSV — the
     CLARK-side estimate_abundance summary (README.md:58-80 notes CLARK's
-    scripts consume this CSV format)."""
+    scripts consume this CSV format).  With -D, the database's full
+    target list seeds the report so unhit targets appear with count 0
+    (CLARK's estimate_abundance reports every DB target)."""
     import csv as _csv
 
     counts: dict[str, int] = {}
+    if getattr(args, "db_dir", None):
+        dbp = _find_db(Path(args.db_dir))
+        if dbp is None:
+            print(f"no database found in {args.db_dir}", file=sys.stderr)
+            return 1
+        from cuclark_tpu.hashdb import KmerDB
+
+        counts = {name: 0 for name in KmerDB.load(dbp).target_names[1:]}
     total = 0
     min_conf = args.min_confidence
     min_gamma = args.min_gamma
@@ -621,6 +631,9 @@ def main(argv=None) -> int:
 
     a = sub.add_parser("abundance", help="summarize a result CSV")
     a.add_argument("-R", "--results", required=True)
+    a.add_argument("-D", "--db-dir", default=None,
+                   help="database directory; lists every DB target "
+                        "(including unhit ones with count 0)")
     a.add_argument("--min-confidence", type=float, default=0.0)
     a.add_argument("--min-gamma", type=float, default=0.0)
     a.add_argument("--highconfidence", action="store_true",

@@ -275,9 +275,12 @@ def collect_target_kmers(file_labels, cfg: DBConfig, progress=None,
 
     label_space.names[0] == 'NA'; label ids are first-seen order,
     1-based, with centromere label2 ids after all label1 ids (matching
-    getTargetsData, src/CuCLARK_hh.hh:1879-1887).  counts are
-    per-occurrence multiplicities (1 for sequence inputs, explicit for
-    spectrum inputs).
+    getTargetsData, src/CuCLARK_hh.hh:1879-1887).  counts is either an
+    explicit per-occurrence multiplicity array (spectrum inputs) or the
+    None sentinel meaning one occurrence each (sequence inputs; also
+    always None on the spill and empty paths) — callers must treat
+    None as all-ones, and discriminate() then counts run lengths
+    instead of materializing the array.
 
     When the accumulated occurrences exceed cfg.build_ram_mb, they spill
     to a _SpillStore (returned as `spill`, with the in-RAM arrays empty);

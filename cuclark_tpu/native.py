@@ -29,12 +29,14 @@ def _build() -> ctypes.CDLL | None:
     if not _SRC.exists():
         return None
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    flags = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC"]
+    # cache tag covers source AND compile command: a flag-only change
+    # must not silently reuse a binary built with the old flags
+    tag = hashlib.sha256(src + "\0".join(flags).encode()).hexdigest()[:16]
     cache = Path(tempfile.gettempdir()) / f"cuclark_host_ops_{tag}.so"
     if not cache.exists():
         tmp = cache.with_suffix(".tmp.so")
-        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-               "-fPIC", str(_SRC), "-o", str(tmp)]
+        cmd = flags + [str(_SRC), "-o", str(tmp)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except (subprocess.SubprocessError, FileNotFoundError):
@@ -225,7 +227,8 @@ def format_rows(norm, gamma, ibest, best, isecond, second, conf,
     n = len(norm)
     name_s = np.ascontiguousarray(name_s, np.int64)
     name_e = np.ascontiguousarray(name_e, np.int64)
-    cap = int(128 * n + (name_e - name_s).sum() + 64)
+    max_tl = int(np.diff(tname_off).max(initial=0))
+    cap = int((192 + 2 * max_tl) * n + (name_e - name_s).sum() + 64)
     out = ctypes.create_string_buffer(cap)
     w = lib.format_rows(
         n,
@@ -258,7 +261,8 @@ def format_rows_ext(counts, norm, gamma, ibest, best, isecond, second,
     n_targets = counts.shape[1] if counts.ndim == 2 else 0
     name_s = np.ascontiguousarray(name_s, np.int64)
     name_e = np.ascontiguousarray(name_e, np.int64)
-    cap = int(n * (12 * (n_targets + 1) + 192)
+    max_tl = int(np.diff(tname_off).max(initial=0))
+    cap = int(n * (12 * (n_targets + 1) + 192 + 2 * max_tl)
               + (name_e - name_s).sum() + 64)
     out = ctypes.create_string_buffer(cap)
     w = lib.format_rows_ext(

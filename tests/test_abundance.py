@@ -78,3 +78,26 @@ def test_density_not_a_csv(tmp_path, capsys):
     p = tmp_path / "x.csv"
     p.write_text("a,b\n1,2\n")
     assert main(["density", "-R", str(p)]) == 1
+
+
+def test_abundance_db_dir_lists_unhit_targets(csv_path, tmp_path, capsys):
+    """-D seeds the report with every DB target, zero counts included."""
+    import numpy as np
+
+    from cuclark_tpu.config import DBConfig
+    from cuclark_tpu.hashdb import build_table
+
+    km = np.arange(64, dtype=np.uint64) * np.uint64(7919)
+    from cuclark_tpu import codec
+
+    km = np.unique(codec.canonical_np(km, 27))
+    labels = (np.arange(len(km)) % 3 + 1).astype(np.uint32)
+    db = build_table(km, labels, ["NA", "T1", "T2", "T9"], DBConfig(k=27))
+    dbdir = tmp_path / "db"
+    dbdir.mkdir()
+    db.save(dbdir / "db_k27.npz")
+
+    assert main(["abundance", "-R", str(csv_path), "-D", str(dbdir)]) == 0
+    d = {l.split(",")[0]: l.split(",")[1] for l in _lines(capsys)[1:]}
+    assert d["T1"] == "3" and d["T2"] == "2"
+    assert d["T9"] == "0"  # unhit DB target present with count 0
