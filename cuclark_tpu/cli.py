@@ -132,8 +132,11 @@ def cmd_classify(args) -> int:
     clf = Classifier(db, cfg, mesh=mesh)
     if clf.stream_parts > 1:
         # swap-cycle analog: table exceeds the (per-device) budget
+        src = (f"--max-table-mb {args.max_table_mb}"
+               if args.max_table_mb is not None
+               else f"auto device budget {clf.table_budget_mb:.0f} MB")
         print(f" - Streaming DB in {clf.stream_parts} bucket-range parts "
-              f"(--max-table-mb {args.max_table_mb})", file=sys.stderr)
+              f"({src})", file=sys.stderr)
 
     jobs = []  # (path, paired_path, out_path)
     if args.paired:
@@ -202,12 +205,10 @@ def _classify_multiprocess(args, db, cfg) -> int:
     multihost.initialize(args.coordinator, args.num_processes,
                          args.process_id)
     nproc = jax.process_count()
-    num_db = 1
-    if args.max_table_mb is not None:
-        budget = args.max_table_mb * 1e6
-        total = jax.device_count()
-        while db.table.nbytes / num_db > budget and num_db * 2 <= total:
-            num_db *= 2
+    from cuclark_tpu.memplan import plan_db_axis, resolve_table_budget_mb
+
+    budget_mb = resolve_table_budget_mb(args.max_table_mb)
+    num_db = plan_db_axis(db.table.nbytes, budget_mb, jax.device_count())
     mesh = make_global_mesh(num_db)
     print(f" - Global mesh: {mesh.shape['data']} data x "
           f"{mesh.shape['db']} db over {nproc} process(es)",
@@ -267,13 +268,11 @@ def _choose_mesh(devices: int, db, max_table_mb):
     n = pow2
     if n < 2:
         return None
+    from cuclark_tpu.memplan import plan_db_axis, resolve_table_budget_mb
     from cuclark_tpu.parallel.mesh import make_mesh
 
-    num_db = 1
-    if max_table_mb is not None:
-        budget = max_table_mb * 1e6
-        while db.table.nbytes / num_db > budget and num_db * 2 <= n:
-            num_db *= 2
+    budget_mb = resolve_table_budget_mb(max_table_mb)
+    num_db = plan_db_axis(db.table.nbytes, budget_mb, n)
     return make_mesh(num_db=num_db, num_data=n // num_db,
                      devices=jax.devices()[:n])
 
@@ -606,7 +605,8 @@ def main(argv=None) -> int:
     c.add_argument("--max-table-mb", type=float, default=None,
                    help="device memory budget for the DB table; larger "
                         "tables stream in bucket-range parts (swap-cycle "
-                        "analog)")
+                        "analog) [default: probed from the device's free "
+                        "HBM minus a reserve]")
     c.add_argument("--resume", action="store_true",
                    help="append to an existing result CSV, skipping reads "
                         "already classified (crash recovery)")

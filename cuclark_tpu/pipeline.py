@@ -156,12 +156,19 @@ class Classifier:
 
     def __init__(self, db: KmerDB, cfg: ClassifyConfig | None = None,
                  len_bins=DEFAULT_LEN_BINS, mesh=None):
+        from cuclark_tpu.memplan import (plan_stream_parts,
+                                         resolve_table_budget_mb)
+
         self.db = db
         self.cfg = cfg or ClassifyConfig()
         self.len_bins = tuple(sorted(len_bins))
         self.stream_parts = 1
         self._sharded = None
         self.mesh = None
+        # Effective per-device budget: explicit --max-table-mb, else the
+        # measured device HBM (reference free-VRAM probe + RESERVED,
+        # src/CuClarkDB.cu:540-574); None = unbounded (CPU hosts).
+        self.table_budget_mb = resolve_table_budget_mb(self.cfg.max_table_mb)
         if mesh is not None:
             # Multi-chip: DB bucket ranges sharded over the mesh 'db'
             # axis, reads over 'data' (replaces the reference's per-GPU
@@ -171,11 +178,8 @@ class Classifier:
             # batch group — the reference's cycles x devices x parts
             # composition (src/CuClarkDB.cu:813-858).
             num_db = mesh.shape["db"]
-            if self.cfg.max_table_mb is not None:
-                budget = self.cfg.max_table_mb * 1e6
-                while (db.table.nbytes / num_db / self.stream_parts > budget
-                       and self.stream_parts * num_db < db.nb):
-                    self.stream_parts *= 2
+            self.stream_parts = plan_stream_parts(
+                db.table.nbytes, self.table_budget_mb, num_db, db.nb)
             if self.stream_parts > 1:
                 self.mesh = mesh
                 self.table = None
@@ -191,11 +195,8 @@ class Classifier:
         # DB streaming decision (reference swap-cycle analog): if the
         # table exceeds the device budget, keep it host-side and stream
         # power-of-two bucket-range parts per batch group.
-        if self.cfg.max_table_mb is not None:
-            budget = self.cfg.max_table_mb * 1e6
-            while (db.table.nbytes / self.stream_parts > budget
-                   and self.stream_parts < db.nb):
-                self.stream_parts *= 2
+        self.stream_parts = plan_stream_parts(
+            db.table.nbytes, self.table_budget_mb, 1, db.nb)
         if self.stream_parts > 1:
             self.table = None
             self.np_table = np.ascontiguousarray(db.table)
