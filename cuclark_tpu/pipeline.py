@@ -413,7 +413,7 @@ class Classifier:
         from cuclark_tpu import native
         from cuclark_tpu.io.csv_out import HEADER_TAIL, write_results
 
-        if not native.available() or self.stream_parts > 1:
+        if not native.available():
             rows = self.classify_file(path, paired_path, skip=skip,
                                       num_hosts=num_hosts, host_id=host_id)
             n = 0
@@ -510,13 +510,37 @@ class Classifier:
             # releases the GIL, so the overlap is real.
             with ThreadPoolExecutor(1) as writer:
                 futs = deque()
-                for wire, (ns, ne), lengths, cnt in _prefetch(put_batches()):
-                    out = self._device_step(wire)
-                    _host_prefetch(*out)
-                    futs.append(writer.submit(
-                        flush_one, out, ns, ne, lengths, cnt))
-                    if len(futs) > 3:
-                        futs.popleft().result()
+                if self.stream_parts > 1:
+                    # DB-streaming mode on the SAME native writer path:
+                    # group batches, stream parts over the group, flush
+                    # each batch's (already host-resident) results
+                    def flush_group(group):
+                        outs = self._stream_group(
+                            [w for w, _, _, _ in group])
+                        for ((_, (ns, ne), lengths, cnt),
+                             out) in zip(group, outs):
+                            futs.append(writer.submit(
+                                flush_one, out, ns, ne, lengths, cnt))
+                        while len(futs) > 3:
+                            futs.popleft().result()
+
+                    group = []
+                    for pb in _prefetch(put_batches()):
+                        group.append(pb)
+                        if len(group) >= self.cfg.stream_group:
+                            flush_group(group)
+                            group = []
+                    if group:
+                        flush_group(group)
+                else:
+                    for wire, (ns, ne), lengths, cnt in _prefetch(
+                            put_batches()):
+                        out = self._device_step(wire)
+                        _host_prefetch(*out)
+                        futs.append(writer.submit(
+                            flush_one, out, ns, ne, lengths, cnt))
+                        if len(futs) > 3:
+                            futs.popleft().result()
                 while futs:
                     futs.popleft().result()
         if extended and total_rows:
@@ -528,12 +552,18 @@ class Classifier:
                   file=sys.stderr)
         return total_rows
 
-    def _classify_group_streaming(self, group, paired: bool):
+    def _stream_group(self, wires):
         """Stream DB parts over a group of packed batches (the reference
         multi-cycle path: swap part, re-query every batch,
         src/CuCLARK_hh.hh:1766-1774) and merge partial labels by sum.
         With a mesh, each part is additionally row-sharded over the 'db'
-        axis and batches over 'data' (cycles x devices x parts)."""
+        axis and batches over 'data' (cycles x devices x parts).
+
+        Partial labels accumulate ON DEVICE (one readback per batch at
+        group end, not one per part x batch) and part p+1's H2D upload
+        is dispatched while part p computes — the async-swap overlap of
+        the reference (src/CuClarkDB.cu:813-858).  Returns a list of
+        (results np [R,5], labels np [R,P] or None) per batch."""
         db = self.db
         P = self.stream_parts
         rows = db.nb // P
@@ -554,9 +584,8 @@ class Classifier:
             return jax.device_put(p2, sh), jax.device_put(vb, sh)
 
         # transfer each batch once; only DB parts restream per cycle
-        dev = [pack_dev(w) for w, _, _, _ in group]
-        acc = [np.zeros((p2.shape[0], 4 * p2.shape[1] - db.k + 1), np.int32)
-               for p2, _ in dev]
+        dev = [pack_dev(w) for w in wires]
+        part_sh = None
         if on_mesh:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
@@ -568,27 +597,45 @@ class Classifier:
                     num_choices=db.num_choices, nb_part=rows,
                     layout=db.layout, seed=db.seed)
             part_sh = NamedSharding(self.mesh, Pspec("db", None))
-        for p in range(P):
+
+        def upload(p):
             part_np = self.np_table[p * rows:(p + 1) * rows]
             if on_mesh:
-                part = jax.device_put(part_np, part_sh)
-                for gi, (p2, vb) in enumerate(dev):
+                return jax.device_put(part_np, part_sh)
+            return jnp.asarray(part_np)
+
+        acc = [None] * len(dev)
+        nxt = upload(0)
+        for p in range(P):
+            part, nxt = nxt, (upload(p + 1) if p + 1 < P else None)
+            for gi, (p2, vb) in enumerate(dev):
+                if on_mesh:
                     (lab,) = self._mesh_part_step(part, p2, vb,
                                                   jnp.int32(p * rows))
-                    acc[gi] += np.asarray(lab)[:acc[gi].shape[0]]
-                continue
-            part = jnp.asarray(part_np)
-            for gi, (p2, vb) in enumerate(dev):
-                lab = probe_part_step(
-                    part, p2, vb, jnp.int32(p * rows),
-                    k=db.k, nb_bits=db.nb_bits, slots=db.slots,
-                    num_choices=db.num_choices, nb_local=rows,
-                    layout=db.layout, seed=db.seed,
-                )
-                acc[gi] += np.asarray(lab)
-        for gi, (_, names, lengths, cnt) in enumerate(group):
-            results = np.asarray(score_step(jnp.asarray(acc[gi])))
-            labels_np = acc[gi] if self.cfg.extended else None
+                else:
+                    lab = probe_part_step(
+                        part, p2, vb, jnp.int32(p * rows),
+                        k=db.k, nb_bits=db.nb_bits, slots=db.slots,
+                        num_choices=db.num_choices, nb_local=rows,
+                        layout=db.layout, seed=db.seed,
+                    )
+                acc[gi] = lab if acc[gi] is None else acc[gi] + lab
+            del part
+        outs = []
+        for a in acc:
+            r = score_step(a)
+            lab_dev = a if self.cfg.extended else None
+            _host_prefetch(r, lab_dev)
+            outs.append((r, lab_dev))
+        return [(np.asarray(r),
+                 np.asarray(l) if l is not None else None)
+                for r, l in outs]
+
+    def _classify_group_streaming(self, group, paired: bool):
+        """Dict-row wrapper over _stream_group for the iterator paths."""
+        outs = self._stream_group([w for w, _, _, _ in group])
+        for (_, names, lengths, cnt), (results, labels_np) in zip(group,
+                                                                  outs):
             yield from self._emit_np(results, labels_np, names, lengths,
                                      cnt, paired)
 

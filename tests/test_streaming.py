@@ -102,3 +102,33 @@ def test_streaming_mesh_records_and_extended(setup):
     assert clf.stream_parts > 1
     got = list(clf.classify_records(iter(reads)))
     assert got == want
+
+
+def test_streaming_csv_native_path_byte_identical(setup, tmp_path):
+    """Streaming mode now rides the native CSV writer: its file output
+    must be byte-identical to resident-mode classify_file_to_csv."""
+    db, reads, fq = setup
+    res_csv = tmp_path / "resident.csv"
+    str_csv = tmp_path / "streaming.csv"
+    resident = Classifier(db, ClassifyConfig(batch_reads=16))
+    n1 = resident.classify_file_to_csv(fq, res_csv)
+    streaming = Classifier(db, ClassifyConfig(
+        batch_reads=16, max_table_mb=db.table.nbytes / 4e6, stream_group=2))
+    assert streaming.stream_parts >= 4
+    n2 = streaming.classify_file_to_csv(fq, str_csv)
+    assert n1 == n2 == 70
+    assert res_csv.read_bytes() == str_csv.read_bytes()
+
+
+def test_streaming_csv_extended_byte_identical(setup, tmp_path):
+    db, reads, fq = setup
+    res_csv = tmp_path / "resident.csv"
+    str_csv = tmp_path / "streaming.csv"
+    resident = Classifier(db, ClassifyConfig(batch_reads=16, extended=True))
+    resident.classify_file_to_csv(fq, res_csv)
+    streaming = Classifier(db, ClassifyConfig(
+        batch_reads=16, extended=True,
+        max_table_mb=db.table.nbytes / 4e6, stream_group=2))
+    assert streaming.stream_parts >= 4
+    streaming.classify_file_to_csv(fq, str_csv)
+    assert res_csv.read_bytes() == str_csv.read_bytes()
