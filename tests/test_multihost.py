@@ -156,3 +156,76 @@ def test_global_mesh_function_with_db_axis(tmp_path):
                                            mesh=mesh)
         assert n == 21
         assert got.read_bytes() == want.read_bytes()
+
+
+def test_two_process_distributed_cli(tmp_path):
+    """REAL multi-process execution: two OS processes bring up
+    jax.distributed (CPU backend, 4 virtual devices each), drive the
+    actual --coordinator CLI path, and their .h000/.h001 shards must
+    concatenate to the single-process CSV byte-for-byte."""
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys
+
+    from cuclark_tpu.cli import main
+
+    rng = random.Random(91)
+    genomes = {t: "".join(rng.choice("ACGT") for _ in range(2500))
+               for t in (1, 2)}
+    lines = []
+    for t, g in genomes.items():
+        (tmp_path / f"g{t}.fa").write_text(f">g{t}\n{g}\n")
+        lines.append(f"{tmp_path}/g{t}.fa S{t}")
+    (tmp_path / "targets.txt").write_text("\n".join(lines) + "\n")
+    reads = []
+    for i in range(41):  # odd count exercises ragged lockstep padding
+        t = rng.randrange(1, 3)
+        pos = rng.randrange(0, 2300)
+        reads.append((f"r{i}_t{t}", genomes[t][pos: pos + 100]))
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    main(["classify", "-D", str(tmp_path / "db"),
+          "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "plain.csv")])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    driver = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from cuclark_tpu.cli import main; "
+        "raise SystemExit(main(sys.argv[1:]))"
+    )
+    out_csv = tmp_path / "mp.csv"
+    procs = []
+    for rank in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", driver,
+             "classify", "-D", str(tmp_path / "db"),
+             "-O", str(tmp_path / "r.fq"), "-R", str(out_csv),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(rank),
+             "-b", "16"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, err.decode(errors="replace")[-2000:]
+    merged = ((tmp_path / "mp.csv.h000").read_bytes()
+              + (tmp_path / "mp.csv.h001").read_bytes())
+    assert merged == (tmp_path / "plain.csv").read_bytes()
