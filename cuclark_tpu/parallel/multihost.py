@@ -115,6 +115,21 @@ def shard_reads_for_host(buf: np.ndarray, num_hosts: int, host_id: int):
     return ns + start, ne + start, ss + start, se + start
 
 
+def _allreduce_max_i64(values: np.ndarray) -> np.ndarray:
+    """Global elementwise max of a small int64 vector across processes
+    (single-process: identity).  Used to agree on the lockstep shape
+    parameters without every host scanning the whole file."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return np.asarray(values, np.int64)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray(values, np.int64))
+    return np.asarray(gathered).max(axis=0)
+
+
 def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
                          paired_path: str | None = None,
                          mesh=None) -> int:
@@ -122,19 +137,25 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
 
     The lockstep protocol (all processes must dispatch identical
     programs for the 'db'-axis psum to meet):
-      1. every process scans the whole file and derives ONE padded
-         read length for the file (global max), so batch shapes agree;
-      2. records split into contiguous per-process blocks by index
+      1. each process scans ONLY its byte range of the input file
+         (shard_reads_for_host; paired mode scans whole files and
+         shards by record index so mates stay aligned) and the padded
+         read length / batch count are agreed globally with one small
+         allgather;
+      2. records form contiguous per-process blocks in rank order
          (outputs concatenate in rank order);
-      3. every process runs the SAME number of batches (the max over
-         blocks), padding missing records with empty reads;
-      4. each process feeds its local rows of every global batch
-         (jax.make_array_from_process_local_data) and writes only its
-         own result rows to out_path (suffixed .h<rank> when
-         multi-process).
+      3. every process runs the SAME number of batches (the global max
+         over blocks), padding missing records with empty reads;
+      4. each process feeds its local rows of every global batch in the
+         fused 2-bit wire format (jax.make_array_from_process_local_
+         data), keeps a few batches in flight with async D2H of its
+         addressable result shards, and writes only its own rows to
+         out_path (suffixed .h<rank> when multi-process).
 
     Single-process this degenerates to the plain mesh path and is
     CPU-testable end to end.  Returns rows written by THIS process."""
+    from collections import deque
+
     import jax
 
     from cuclark_tpu import codec
@@ -154,28 +175,38 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
         raise ValueError(f"data axis {rows_global} not divisible by "
                          f"{nproc} processes")
 
-    # 1. global scan (every process reads the shared input file).
     # A bare Classifier shell reuses the scan/bin/emit helpers without
     # placing the table on a device (the mesh already holds it).
-    from cuclark_tpu.pipeline import DEFAULT_LEN_BINS
+    from cuclark_tpu.pipeline import DEFAULT_LEN_BINS, _read_file_bytes
 
     clf = Classifier.__new__(Classifier)
     clf.db, clf.cfg = db, cfg
     clf.len_bins = tuple(sorted(DEFAULT_LEN_BINS))
-    buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
-        clf._scan_for_classify(path, paired_path, 0, 1, 0))
-    n_rec = len(seq_s)
+    paired = paired_path is not None
+
+    # 1.+2. this process's record block (absolute offsets into buf)
+    if paired or nproc == 1:
+        # paired mate files shard by record index (whole-file scan
+        # keeps both files aligned); single-process scans everything
+        buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
+            clf._scan_for_classify(path, paired_path, 0, nproc, pid))
+    else:
+        # per-host byte-range scan: only this slice's records
+        buf = _read_file_bytes(path)
+        name_s, name_e, seq_s, seq_e = shard_reads_for_host(
+            buf, nproc, pid)
+        buf2 = seq_s2 = seq_e2 = None
+    n_local = len(seq_s)
     raw_len = seq_e - seq_s
     if buf2 is not None:
         raw_len = raw_len + (seq_e2 - seq_s2) + 1
-    L = clf._bin_for(int(raw_len.max(initial=1)))
-    paired = buf2 is not None
+    local_max_len = int(raw_len.max(initial=1))
 
-    # 2. contiguous per-process record blocks
-    per = n_rec // nproc
-    lo = per * pid
-    hi = n_rec if pid == nproc - 1 else per * (pid + 1)
-    max_block = n_rec - per * (nproc - 1) if nproc > 1 else n_rec
+    # lockstep shape agreement: one tiny collective instead of every
+    # process scanning the whole file
+    gmax = _allreduce_max_i64(np.array([local_max_len, n_local]))
+    L = clf._bin_for(int(gmax[0]))
+    max_block = int(gmax[1])
 
     # 3. lockstep batch count; local rows per batch divisible by the
     #    per-process slice of the data axis
@@ -193,31 +224,10 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
                 cols += db.target_names[1:]
             cols += HEADER_TAIL
             f.write(",".join(cols) + "\n")
-        for b in range(n_batches):
-            blo = lo + b * B_local
-            bhi = min(hi, blo + B_local)
-            cnt = max(0, bhi - blo)
-            if cnt:
-                codes, lengths = fast_parse.pack_block_dispatch(
-                    buf, seq_s[blo:bhi], seq_e[blo:bhi], L, n_rows=cnt)
-                if paired:
-                    from cuclark_tpu.pipeline import _merge_paired
 
-                    codes, lengths = _merge_paired(
-                        codes, lengths, buf2, seq_s2[blo:bhi],
-                        seq_e2[blo:bhi], L)
-                names = fast_parse.names_of(
-                    buf, name_s[blo:bhi], name_e[blo:bhi])
-                if cnt < B_local:  # lockstep: pad the ragged final batch
-                    codes = np.pad(codes, ((0, B_local - cnt), (0, 0)),
-                                   constant_values=codec.INVALID)
-                    lengths = np.pad(lengths, (0, B_local - cnt))
-            else:
-                codes = np.full((B_local, L), codec.INVALID, np.uint8)
-                lengths = np.zeros(B_local, np.int64)
-                names = []
-            p2, vb = codec.pack_codes(codes)
-            results_dev, labels_dev = sc.step_packed(p2, vb)
+        def flush(item):
+            nonlocal written
+            results_dev, labels_dev, names, lengths, cnt = item
             results = ShardedClassifier.local_rows(results_dev, cnt)
             labels_np = (ShardedClassifier.local_rows(labels_dev, cnt)
                          if labels_dev is not None else None)
@@ -225,4 +235,49 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
                                     lengths, cnt, paired):
                 f.write(format_row(row, db.target_names, cfg.extended))
                 written += 1
+
+        inflight = deque()
+        W2, WV = L // 4, L // 8
+        for b in range(n_batches):
+            blo = min(b * B_local, n_local)
+            bhi = min(blo + B_local, n_local)
+            cnt = bhi - blo
+            if cnt and paired:
+                codes, lengths = fast_parse.pack_block_dispatch(
+                    buf, seq_s[blo:bhi], seq_e[blo:bhi], L, n_rows=cnt)
+                from cuclark_tpu.pipeline import _merge_paired
+
+                codes, lengths = _merge_paired(
+                    codes, lengths, buf2, seq_s2[blo:bhi],
+                    seq_e2[blo:bhi], L)
+                if cnt < B_local:  # lockstep: pad the ragged final batch
+                    codes = np.pad(codes, ((0, B_local - cnt), (0, 0)),
+                                   constant_values=codec.INVALID)
+                    lengths = np.pad(lengths, (0, B_local - cnt))
+                p2, vb = codec.pack_codes(codes)
+            elif cnt:
+                # fused scan->wire packing (no [R, L] byte matrix)
+                p2, vb, lengths = fast_parse.pack_block2_dispatch(
+                    buf, seq_s[blo:bhi], seq_e[blo:bhi], L,
+                    n_rows=B_local)
+            else:
+                p2 = np.zeros((B_local, W2), np.uint8)
+                vb = np.zeros((B_local, WV), np.uint8)
+                lengths = np.zeros(B_local, np.int64)
+            names = (fast_parse.names_of(buf, name_s[blo:bhi],
+                                         name_e[blo:bhi]) if cnt else [])
+            results_dev, labels_dev = sc.step_packed(p2, vb)
+            for arr in (results_dev, labels_dev):
+                if arr is None:
+                    continue
+                try:  # async D2H of this process's shards
+                    for s in arr.addressable_shards:
+                        s.data.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+            inflight.append((results_dev, labels_dev, names, lengths, cnt))
+            if len(inflight) > 2:
+                flush(inflight.popleft())
+        while inflight:
+            flush(inflight.popleft())
     return written

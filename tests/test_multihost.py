@@ -229,3 +229,70 @@ def test_two_process_distributed_cli(tmp_path):
     merged = ((tmp_path / "mp.csv.h000").read_bytes()
               + (tmp_path / "mp.csv.h001").read_bytes())
     assert merged == (tmp_path / "plain.csv").read_bytes()
+
+
+def test_two_process_distributed_paired(tmp_path):
+    """Paired-end mates through the 2-process --coordinator path (record
+    -index sharding keeps mates aligned across processes)."""
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys
+
+    from cuclark_tpu.cli import main
+
+    rng = random.Random(17)
+    g = "".join(rng.choice("ACGT") for _ in range(2500))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/g.fa T1\n")
+    r1, r2 = [], []
+    for i in range(23):
+        pos = rng.randrange(0, 2300)
+        r1.append((f"p{i}", g[pos: pos + 60]))
+        r2.append((f"p{i}", g[pos + 60: pos + 120]))
+    for fn, rs in (("r1.fq", r1), ("r2.fq", r2)):
+        (tmp_path / fn).write_text("".join(
+            f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in rs))
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    main(["classify", "-D", str(tmp_path / "db"),
+          "-P", str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq"),
+          "-R", str(tmp_path / "plain.csv")])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    driver = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from cuclark_tpu.cli import main; "
+        "raise SystemExit(main(sys.argv[1:]))"
+    )
+    out_csv = tmp_path / "mp.csv"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", driver,
+         "classify", "-D", str(tmp_path / "db"),
+         "-P", str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq"),
+         "-R", str(out_csv),
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", "2", "--process-id", str(rank), "-b", "16"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for rank in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, err.decode(errors="replace")[-2000:]
+    merged = ((tmp_path / "mp.csv.h000").read_bytes()
+              + (tmp_path / "mp.csv.h001").read_bytes())
+    assert merged == (tmp_path / "plain.csv").read_bytes()
