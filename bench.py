@@ -1,8 +1,15 @@
-"""Benchmark: classified reads/sec on one chip.
+"""Benchmark: classified reads/sec on one chip, AT REPRESENTATIVE SCALE.
 
-Builds a synthetic bacteria-scale-shaped database (k=31, configurable
-k-mer count) plus a batch of 150 bp reads, runs the jitted classify
-step end-to-end on the default JAX device, and prints ONE JSON line:
+The HEADLINE number is the RefSeq-bacteria-shaped configuration of
+BASELINE ladder 3 — k=31, 64M target-specific k-mers (a ~1 GB q4
+table), 16,384 targets — because that is the project's stated north
+star ("classified reads/sec/chip on the RefSeq-bacteria DB",
+BASELINE.md).  A small-table configuration (4M k-mers, 67 MB) is kept
+in detail for continuity with earlier rounds; r02's headline was
+measured there and overstated the realistic per-chip rate (the q4
+gather is NOT flat in table size — see BENCHNOTES.md round 3).
+
+Prints ONE JSON line:
 
   {"metric": "reads_per_sec", "value": N, "unit": "reads/s",
    "vs_baseline": R}
@@ -15,7 +22,10 @@ i.e. BASELINE_READS_PER_SEC = 16667 reads/s/device.  vs_baseline is
 our reads/s divided by that.
 
 Env knobs: CUCLARK_BENCH_READS, CUCLARK_BENCH_KMERS,
-CUCLARK_BENCH_READLEN, CUCLARK_BENCH_TARGETS, CUCLARK_BENCH_REPS.
+CUCLARK_BENCH_READLEN, CUCLARK_BENCH_TARGETS, CUCLARK_BENCH_REPS,
+CUCLARK_BENCH_SCALE_KMERS, CUCLARK_BENCH_SCALE_TARGETS,
+CUCLARK_BENCH_E2E_READS, CUCLARK_BENCH_BUILD_MB (spill-path probe;
+0 disables).
 """
 
 import json
@@ -60,77 +70,94 @@ def main():
     n_targets = int(os.environ.get("CUCLARK_BENCH_TARGETS", 1024))
     reps = int(os.environ.get("CUCLARK_BENCH_REPS", 3))
     chunk = int(os.environ.get("CUCLARK_BENCH_CHUNK", 16384))
+    scale_kmers = int(os.environ.get("CUCLARK_BENCH_SCALE_KMERS",
+                                     64_000_000))
+    scale_targets = int(os.environ.get("CUCLARK_BENCH_SCALE_TARGETS", 16384))
     k = 31
     n_reads = (n_reads // chunk) * chunk or chunk
 
     rng = np.random.default_rng(0)
+    detail = {"device": str(jax.devices()[0]).split(":")[0],
+              "read_len": read_len}
 
-    # --- synthetic target-specific DB ---
-    km = np.unique(rng.integers(0, 1 << 62, size=int(n_kmers * 1.05),
-                                dtype=np.uint64))
-    km = codec.canonical_np(km, k)
-    km = np.unique(km)[:n_kmers]
-    labels = rng.integers(1, n_targets + 1, size=len(km)).astype(np.uint32)
-    names = ["NA"] + [f"T{i}" for i in range(1, n_targets + 1)]
-    cfg = DBConfig(k=k, slots=2, target_load=0.7)
-    _log('building main table')
-    t0 = time.time()
-    db = build_table(km, labels, names, cfg)
-    build_s = time.time() - t0
-
-    # --- synthetic reads: substrings of synthetic genomes with hits ---
+    # --- synthetic reads: substrings of synthetic genomes ---
     genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
     starts = rng.integers(0, len(genome) - read_len, size=n_reads)
     codes = genome[starts[:, None] + np.arange(read_len)[None, :]]
-
-    table = jnp.asarray(db.table)
     # the production wire format: 2-bit packed codes + validity bitmask
     dev_chunks = [tuple(jnp.asarray(a)
                         for a in codec.pack_codes(codes[i: i + chunk]))
                   for i in range(0, n_reads, chunk)]
 
-    def run():
-        # scalar checksum forces real execution of every chunk; a bare
-        # block_until_ready can return early through the remote relay
-        acc = jnp.int32(0)
-        for p2, vb in dev_chunks:
-            results, _ = classify_step_packed(
-                table, p2, vb, k=db.k, nb_bits=db.nb_bits,
-                slots=db.slots, num_choices=db.num_choices,
-                layout=db.layout, seed=db.seed,
-                with_labels=False,
-            )
-            acc = acc + results[:, 0].sum() % 97
-        return float(np.asarray(acc))
+    def make_runner(db, table, chunks):
+        def run():
+            # scalar checksum forces real execution of every chunk; a
+            # bare block_until_ready can return early through the
+            # remote relay
+            acc = jnp.int32(0)
+            for p2, vb in chunks:
+                results, _ = classify_step_packed(
+                    table, p2, vb, k=db.k, nb_bits=db.nb_bits,
+                    slots=db.slots, num_choices=db.num_choices,
+                    layout=db.layout, seed=db.seed, with_labels=False)
+                acc = acc + results[:, 0].sum() % 97
+            return float(np.asarray(acc))
+        return run
 
-    _log('warmup compile (device step)')
-    run()  # warmup/compile
+    def time_reps(run, n):
+        run()  # warmup/compile
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+        return n / min(times), min(times)
 
-    _log('timing device step')
-    times = []
-    for _ in range(reps):
+    def synth_db(num_kmers, num_targets, load):
+        km = rng.integers(0, 1 << 62, size=int(num_kmers * 1.05),
+                          dtype=np.uint64)
+        km = np.unique(codec.canonical_np(km, k))[:num_kmers]
+        labels = rng.integers(1, num_targets + 1,
+                              size=len(km)).astype(np.uint32)
+        names = ["NA"] + [f"T{i}" for i in range(1, num_targets + 1)]
         t0 = time.time()
-        run()
-        times.append(time.time() - t0)
-    dt = min(times)
-    rps = n_reads / dt
+        db = build_table(km, labels, names, DBConfig(k=k, target_load=load))
+        return db, time.time() - t0
 
-    detail = {
-        "device": str(jax.devices()[0]).split(":")[0],
+    # --- HEADLINE: at-scale device step (RefSeq-bacteria-shaped) ---
+    _log(f"building at-scale table ({scale_kmers} kmers)")
+    db_s, scale_build = synth_db(scale_kmers, scale_targets, 0.85)
+    tbl_s = jnp.asarray(db_s.table)
+    _log("at-scale warmup compile")
+    rps_scale, dt_s = time_reps(make_runner(db_s, tbl_s, dev_chunks), n_reads)
+    detail.update({
         "n_reads": n_reads,
-        "read_len": read_len,
+        "db_kmers": int(db_s.num_kmers),
+        "n_targets": scale_targets,
+        "layout": db_s.layout,
+        "table_mb": round(db_s.table.nbytes / 1e6, 1),
+        "db_build_s": round(scale_build, 1),
+        "step_ms": round(dt_s * 1e3, 2),
+        "kmer_probes_per_sec": round(rps_scale * (read_len - k + 1), 0),
+    })
+
+    # --- small-table device step (r01/r02 headline config, for
+    #     continuity + the table-size scaling record) ---
+    _log("small-table step")
+    db, build_s = synth_db(n_kmers, n_targets, 0.7)
+    table = jnp.asarray(db.table)
+    rps_small, _ = time_reps(make_runner(db, table, dev_chunks), n_reads)
+    detail["small"] = {
         "db_kmers": int(db.num_kmers),
         "n_targets": n_targets,
-        "layout": db.layout,
         "table_mb": round(db.table.nbytes / 1e6, 1),
         "db_build_s": round(build_s, 2),
-        "step_ms": round(dt * 1e3, 2),
-        "kmer_probes_per_sec": round(rps * (read_len - k + 1), 0),
+        "reads_per_sec": round(rps_small, 1),
     }
 
-    # --- end-to-end file -> CSV (host scan/pack/format included) ---
-    # the reference's own metric is objects/min through the whole
-    # binary (src/CuCLARK_hh.hh:1940-1943); this measures our analog.
+    # --- end-to-end file -> CSV (host scan/pack/format included),
+    #     against the AT-SCALE table — the reference's own metric is
+    #     objects/min through the whole binary (CuCLARK_hh.hh:1940-1943)
     e2e_reads = int(os.environ.get("CUCLARK_BENCH_E2E_READS", 500_000))
     if e2e_reads:
         import tempfile
@@ -155,62 +182,44 @@ def main():
                         f.write(b"".join(blocks))
                         blocks = []
                 f.write(b"".join(blocks))
-            clf = Classifier(db, ClassifyConfig(batch_reads=chunk))
-            out_csv = Path(td) / "out.csv"
-            _log('e2e warmup')
-            clf.classify_file_to_csv(fq, out_csv)  # warmup (compile)
-            t0 = time.time()
-            n = clf.classify_file_to_csv(fq, out_csv)
-            e2e_dt = time.time() - t0
-            assert n == e2e_reads
-        detail["e2e_reads_per_sec"] = round(e2e_reads / e2e_dt, 1)
-        detail["e2e_objects_per_min"] = int(e2e_reads / e2e_dt * 60)
+            for tag, e2e_db in (("e2e_scale", db_s), ("e2e_small", db)):
+                clf = Classifier(e2e_db, ClassifyConfig(batch_reads=chunk))
+                out_csv = Path(td) / "out.csv"
+                _log(f"{tag} warmup")
+                clf.classify_file_to_csv(fq, out_csv)  # warmup (compile)
+                t0 = time.time()
+                n = clf.classify_file_to_csv(fq, out_csv)
+                e2e_dt = time.time() - t0
+                assert n == e2e_reads
+                detail[tag] = {
+                    "reads_per_sec": round(e2e_reads / e2e_dt, 1),
+                    "objects_per_min": int(e2e_reads / e2e_dt * 60),
+                }
+        detail["e2e_reads_per_sec"] = detail["e2e_scale"]["reads_per_sec"]
 
-    # --- at-scale device step: multi-GB-class table, >=10K targets ---
-    # (BASELINE ladder 3; gathers measured flat in table size, this
-    # documents it at representative scale)
-    scale_kmers = int(os.environ.get("CUCLARK_BENCH_SCALE_KMERS", 64_000_000))
-    if scale_kmers:
-        _log('building at-scale table')
-        kms = rng.integers(0, 1 << 62, size=int(scale_kmers * 1.02),
-                           dtype=np.uint64)
-        kms = np.unique(codec.canonical_np(kms, k))[:scale_kmers]
-        labs = rng.integers(1, 16385, size=len(kms)).astype(np.uint32)
-        nm = ["NA"] + [f"T{i}" for i in range(1, 16385)]
-        t0 = time.time()
-        db_s = build_table(kms, labs, nm, DBConfig(k=k, target_load=0.85))
-        scale_build = time.time() - t0
-        tbl_s = jnp.asarray(db_s.table)
-        dev_s = dev_chunks[:4]
+    del table, tbl_s
 
-        def run_scale():
-            acc = jnp.int32(0)
-            for p2, vb in dev_s:
-                results, _ = classify_step_packed(
-                    tbl_s, p2, vb, k=db_s.k, nb_bits=db_s.nb_bits,
-                    slots=db_s.slots, num_choices=db_s.num_choices,
-                    layout=db_s.layout, seed=db_s.seed, with_labels=False)
-                acc = acc + results[:, 0].sum() % 97
-            return float(np.asarray(acc))
+    # --- out-of-core build probe (spill path; VERDICT r02 item 7) ---
+    build_mb = int(os.environ.get("CUCLARK_BENCH_BUILD_MB", 48))
+    if build_mb:
+        _log(f"spill-path build probe ({build_mb} Mbases)")
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        try:
+            from bench_build_scale import run as build_run
 
-        _log('at-scale warmup done' if False else 'at-scale timing')
-        run_scale()
-        t0 = time.time()
-        run_scale()
-        sdt = time.time() - t0
-        detail["scale"] = {
-            "db_kmers": int(db_s.num_kmers),
-            "n_targets": 16384,
-            "table_mb": round(db_s.table.nbytes / 1e6, 1),
-            "db_build_s": round(scale_build, 1),
-            "reads_per_sec": round(4 * chunk / sdt, 1),
-        }
+            # budget sized to ~1/3 of the occurrence bytes forces the
+            # disk-shard path
+            detail["build_spill"] = build_run(
+                build_mb, ram_mb=int(build_mb * 16 / 3))
+        except Exception as e:  # pragma: no cover - probe is best-effort
+            detail["build_spill"] = {"error": str(e)}
 
     out = {
         "metric": "reads_per_sec",
-        "value": round(rps, 1),
+        "value": round(rps_scale, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": round(rps_scale / BASELINE_READS_PER_SEC, 3),
         "detail": detail,
     }
     print(json.dumps(out))

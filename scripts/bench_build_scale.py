@@ -1,0 +1,76 @@
+"""Out-of-core DB build bench: the spill path at representative scale.
+
+Generates synthetic genomes totalling BUILD_BENCH_MB megabases (~1
+occurrence per base at k=31), builds the database with a
+BUILD_BENCH_RAM_MB host budget for raw occurrences (16 B each; budgets
+below total_bases*16 force the _SpillStore disk path), and reports
+wall time + peak RSS — the scale probe for the external-sort answer to
+the reference's 146 GB in-RAM mother table (README.md:93-94).
+
+Adjacent genomes share a 5% splice so the discriminative filter (and
+the multi-label run sweep) does real work.
+
+Run: PYTHONPATH=/root/repo BUILD_BENCH_MB=320 python scripts/bench_build_scale.py
+"""
+
+import json
+import os
+import resource
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def run(total_mb: int, ram_mb: int, k: int = 31, targets: int = 16,
+        workdir=None):
+    from cuclark_tpu.config import DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+
+    rng = np.random.default_rng(0)
+    base = np.frombuffer(b"ACGT", np.uint8)
+    per = int(total_mb * 1e6 / targets)
+    with tempfile.TemporaryDirectory(dir=workdir) as td:
+        file_labels = []
+        prev = None
+        gen_t0 = time.time()
+        for t in range(targets):
+            seq = base[rng.integers(0, 4, size=per)]
+            if prev is not None:  # 5% splice shared with the neighbor
+                seq[: per // 20] = prev[: per // 20]
+            p = Path(td) / f"g{t}.fa"
+            with open(p, "wb") as f:
+                f.write(b">g%d\n" % t)
+                f.write(seq.tobytes())
+                f.write(b"\n")
+            file_labels.append((str(p), f"T{t + 1}", None))
+            prev = seq
+        gen_s = time.time() - gen_t0
+
+        cfg = DBConfig(k=k, build_ram_mb=ram_mb)
+        t0 = time.time()
+        db = build_db(file_labels, cfg)
+        build_s = time.time() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    occ = total_mb * 1e6 - targets * (k - 1)
+    return {
+        "occurrences_m": round(occ / 1e6, 1),
+        "ram_budget_mb": ram_mb,
+        "spilled": occ * 16 > ram_mb * 1e6,
+        "build_s": round(build_s, 1),
+        "occ_per_sec_m": round(occ / build_s / 1e6, 1),
+        "peak_rss_gb": round(rss_gb, 2),
+        "db_kmers": int(db.num_kmers),
+        "table_mb": round(db.table.nbytes / 1e6, 1),
+        "gen_s": round(gen_s, 1),
+    }
+
+
+if __name__ == "__main__":
+    total_mb = int(os.environ.get("BUILD_BENCH_MB", 320))
+    ram_mb = int(os.environ.get("BUILD_BENCH_RAM_MB", 4096))
+    out = run(total_mb, ram_mb)
+    print(json.dumps(out), flush=True)
+    sys.exit(0)
