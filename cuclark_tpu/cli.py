@@ -480,6 +480,52 @@ def cmd_import_clark(args) -> int:
     return 0
 
 
+def cmd_export_ht(args) -> int:
+    """Dump per-target `.ht` text files (reference --tsk artifacts,
+    EHashtable::SaveMultiple, src/HashTableStorage_hh.hh:295-343) that a
+    CLARK/CuCLARK install can consume or rebuild from."""
+    from cuclark_tpu.hashdb import KmerDB
+    from cuclark_tpu.io import clark_ht
+
+    dbp = _find_db(Path(args.db_dir))
+    if dbp is None:
+        print("no database found", file=sys.stderr)
+        return 1
+    db = KmerDB.load(dbp)
+    kmers, labels = db.items()
+    n = clark_ht.export_ht_dir(kmers, labels, db.target_names,
+                               args.output, db.k, light=args.light)
+    print(f"exported {len(kmers)} {db.k}-mers into {n} .ht files -> "
+          f"{args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_import_ht(args) -> int:
+    """Build a database from a directory of `.ht` target-specific sets
+    (the reference's rebuild-from-.ht resume path,
+    src/CuCLARK_hh.hh:638-684 + EHashtable::Load)."""
+    from cuclark_tpu.db_build.builder import db_name
+    from cuclark_tpu.hashdb import build_table
+    from cuclark_tpu.io import clark_ht
+
+    kmers, labels, names, k_seen = clark_ht.import_ht_dir(
+        args.input, min_count=args.min_freq_target)
+    if k_seen is not None and args.k != 31 and args.k != k_seen:
+        print(f"warning: -k {args.k} overridden by .ht header k={k_seen}",
+              file=sys.stderr)
+    if k_seen is not None:
+        args.k = k_seen
+    cfg = _build_cfg(args)
+    db = build_table(kmers, labels, names, cfg)
+    dbdir = Path(args.db_dir)
+    dbdir.mkdir(parents=True, exist_ok=True)
+    out = dbdir / db_name(cfg, db.num_targets)
+    db.save(out)
+    print(f"imported {db.num_kmers} {cfg.k}-mers, {db.num_targets} "
+          f"targets from .ht -> {out}", file=sys.stderr)
+    return 0
+
+
 def cmd_set_targets(args) -> int:
     from cuclark_tpu.taxonomy.targets import set_targets
 
@@ -689,6 +735,25 @@ def main(argv=None) -> int:
     ec.add_argument("--light", action="store_true",
                     help="use the cuCLARK-l HTSIZE")
     ec.set_defaults(fn=cmd_export_clark)
+
+    eh = sub.add_parser("export-ht",
+                        help="dump per-target .ht text sets (--tsk "
+                             "interop)")
+    eh.add_argument("-D", "--db-dir", required=True)
+    eh.add_argument("-o", "--output", required=True,
+                    help="output directory for <label>_k<k>.ht files")
+    eh.add_argument("--light", action="store_true",
+                    help="use the _light filename suffix")
+    eh.set_defaults(fn=cmd_export_ht)
+
+    ih = sub.add_parser("import-ht",
+                        help="build database from a directory of .ht "
+                             "target-specific sets")
+    ih.add_argument("-i", "--input", required=True,
+                    help="directory holding <label>_k<k>.ht files")
+    ih.add_argument("-D", "--db-dir", required=True)
+    _add_db_args(ih)
+    ih.set_defaults(fn=cmd_import_ht)
 
     ic = sub.add_parser("import-clark",
                         help="build database from CLARK .sz/.ky/.lb")
