@@ -477,6 +477,34 @@ int64_t reduce_occurrences(const uint64_t* km, const uint32_t* lb,
     return out;
 }
 
+// ---- spill-shard partition (out-of-core DB build) ----
+// Orders (kmer, label, count) occurrence records by their k-mer-range
+// shard (top bits) in one count + one scatter pass — replacing a
+// numpy argsort in _SpillStore.add (the disk-shard stage of the
+// external-sort answer to the reference's in-RAM mother table,
+// src/hashTable_hh.hh / README.md:93-94).  out is [n] interleaved
+// {km, (lb<<32)|ct} records; bounds[D+1] receives exclusive prefix
+// offsets per shard.
+
+void spill_partition(const uint64_t* km, const uint32_t* lb,
+                     const uint32_t* ct, int32_t has_ct, int64_t n,
+                     int32_t shift, int32_t nshards,
+                     uint64_t* out, int64_t* bounds) {
+    for (int s = 0; s <= nshards; s++) bounds[s] = 0;
+    for (int64_t i = 0; i < n; i++)
+        bounds[(km[i] >> shift) + 1]++;
+    for (int s = 0; s < nshards; s++) bounds[s + 1] += bounds[s];
+    int64_t* off = new int64_t[nshards];
+    memcpy(off, bounds, nshards * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        int64_t p = off[km[i] >> shift]++;
+        out[2 * p] = km[i];
+        out[2 * p + 1] =
+            ((uint64_t)lb[i] << 32) | (has_ct ? ct[i] : 1u);
+    }
+    delete[] off;
+}
+
 // ---- CLARK CSV row formatting ----
 // Exact row format of printExtendedResultsSynced (normal mode),
 // src/CuCLARK_hh.hh:2127-2135: "%s,%u,%g,%s,%u,%s,%u,%g\n" with the

@@ -233,6 +233,15 @@ class _SpillStore:
         return self._files[s]
 
     def add(self, km: np.ndarray, lb: np.ndarray, ct: np.ndarray) -> None:
+        if native.available():
+            # one native count+scatter pass groups records by shard
+            rec, bounds = native.spill_partition(
+                km, lb, ct, int(self.shift), self.nshards)
+            for s in range(self.nshards):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                if hi > lo:
+                    self._fh(s).write(rec[lo:hi].tobytes())
+            return
         shard = (km >> self.shift).astype(np.int64)
         order = np.argsort(shard, kind="stable")
         sk, sl, sc = km[order], lb[order], ct[order]

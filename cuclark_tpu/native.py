@@ -85,6 +85,12 @@ def _build() -> ctypes.CDLL | None:
         _U64P, _U32P, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         _U32P, _U8P, ctypes.c_int64]
+    lib.spill_partition.restype = None
+    lib.spill_partition.argtypes = [
+        _U64P, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        _U64P, _I64P]
     lib.reduce_occurrences.restype = ctypes.c_int64
     lib.reduce_occurrences.argtypes = [
         _U64P, _U32P, _U32P, ctypes.c_int32, ctypes.c_int64,
@@ -283,6 +289,25 @@ def format_rows_ext(counts, norm, gamma, ibest, best, isecond, second,
     if w < 0:
         raise RuntimeError("format_rows_ext buffer overflow")
     return out.raw[:w]
+
+
+def spill_partition(kmers: np.ndarray, labels: np.ndarray,
+                    counts: np.ndarray | None, shift: int, nshards: int):
+    """Order occurrence records by k-mer-range shard in one native
+    count+scatter pass.  Returns (records u64 [n, 2] = {km,
+    (lb<<32)|ct} grouped by shard, bounds int64 [nshards+1])."""
+    lib = _lib()
+    n = len(kmers)
+    out = np.empty((n, 2), np.uint64)
+    bounds = np.empty(nshards + 1, np.int64)
+    has_ct = counts is not None
+    ct = (np.ascontiguousarray(counts, np.uint32) if has_ct
+          else np.empty(1, np.uint32))
+    lib.spill_partition(
+        np.ascontiguousarray(kmers, np.uint64),
+        np.ascontiguousarray(labels, np.uint32), ct,
+        1 if has_ct else 0, n, shift, nshards, out.reshape(-1), bounds)
+    return out, bounds
 
 
 def reduce_occurrences(kmers: np.ndarray, labels: np.ndarray,
