@@ -290,17 +290,30 @@ int64_t build_cuckoo(const uint64_t* kmers, const uint32_t* labels,
     return 0;
 }
 
-// ---- q4 layout build ----
+// ---- q4 / qs layout build ----
 // Two-choice C=4 cuckoo over Feistel-mixed keys; entries are
 // quotient-compressed [other u32 | (q15|choice1|label16) u32] pairs in
 // 32 B rows (see cuclark_tpu/hashdb.py KmerDB docs).  Replaces the
 // vectorized-numpy + Python-eviction build for large databases.
+//
+// stash_bits == 0: classic q4 — both choices hash over the same [NB]
+// row range.  stash_bits > 0: qs — choice 1 hashes into a SMALL stash
+// section of NBS = 1<<stash_bits rows appended at global rows
+// [NB, NB+NBS), so the online probe pays one cold main-table gather
+// plus one warm stash gather (BENCHNOTES.md round 3).  table/occ then
+// cover NB+NBS rows; stash entries quotient against stash_bits.
 
 int64_t build_q4(const uint64_t* kmers, const uint32_t* labels, int64_t n,
-                 int32_t nb_bits, uint32_t c1, uint32_t c2, uint32_t c3,
-                 uint32_t* table /* [NB, 8] zero-initialized */,
+                 int32_t nb_bits, int32_t stash_bits,
+                 uint32_t c1, uint32_t c2, uint32_t c3,
+                 uint32_t* table /* [NB(+NBS), 8] zero-initialized */,
                  uint8_t* occ, int64_t max_kicks) {
     const uint32_t mask = (uint32_t)((1ull << nb_bits) - 1);
+    const uint32_t nb = (uint32_t)(1ull << nb_bits);
+    const uint32_t smask =
+        stash_bits ? (uint32_t)((1ull << stash_bits) - 1) : mask;
+    const uint32_t soff = stash_bits ? nb : 0;
+    const int32_t sbits = stash_bits ? stash_bits : nb_bits;
     uint64_t rng = 0x5EEDC0FFEEull;
     for (int64_t i = 0; i < n; i++) {
         uint32_t lo = (uint32_t)kmers[i], hi = (uint32_t)(kmers[i] >> 32);
@@ -313,33 +326,39 @@ int64_t build_q4(const uint64_t* kmers, const uint32_t* labels, int64_t n,
             // try both buckets when fresh, else only the current choice
             for (int c = (kick == 0 ? 0 : (int)choice);
                  c <= (kick == 0 ? 1 : (int)choice); c++) {
-                uint32_t b = (c == 0 ? l2 : h1) & mask;
+                uint32_t b = c == 0 ? (l2 & mask) : (soff + (h1 & smask));
                 if (occ[b] < 4) {
                     int64_t row = (int64_t)b * 8;
                     int s = occ[b];
                     uint32_t own = c == 0 ? l2 : h1;
+                    int32_t qsh = c == 0 ? nb_bits : sbits;
                     table[row + s] = c == 0 ? h1 : l2;
                     table[row + 4 + s] =
-                        ((own >> nb_bits) << 17) | ((uint32_t)c << 16) | lb;
+                        ((own >> qsh) << 17) | ((uint32_t)c << 16) | lb;
                     occ[b]++;
                     goto placed;
                 }
             }
             {
                 // evict a random slot of the current-choice bucket
-                uint32_t b = (choice == 0 ? l2 : h1) & mask;
+                uint32_t b = choice == 0 ? (l2 & mask)
+                                         : (soff + (h1 & smask));
                 rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17;
                 int s = (int)(rng & 3);
                 int64_t row = (int64_t)b * 8;
                 uint32_t v_other = table[row + s];
                 uint32_t v_meta = table[row + 4 + s];
                 uint32_t own = choice == 0 ? l2 : h1;
+                int32_t qsh = choice == 0 ? nb_bits : sbits;
                 table[row + s] = choice == 0 ? h1 : l2;
                 table[row + 4 + s] =
-                    ((own >> nb_bits) << 17) | (choice << 16) | lb;
+                    ((own >> qsh) << 17) | (choice << 16) | lb;
                 // reconstruct the victim and retry it at its other choice
                 uint32_t v_c = (v_meta >> 16) & 1u;
-                uint32_t v_own = ((v_meta >> 17) << nb_bits) | b;
+                uint32_t v_local = v_c == 0 ? b : (b - soff);
+                uint32_t v_own = v_c == 0
+                    ? (((v_meta >> 17) << nb_bits) | v_local)
+                    : (((v_meta >> 17) << sbits) | v_local);
                 l2 = v_c == 0 ? v_own : v_other;
                 h1 = v_c == 0 ? v_other : v_own;
                 lb = v_meta & 0xFFFFu;

@@ -550,8 +550,9 @@ def cmd_info(args) -> int:
         "slots": db.slots,
         "num_choices": db.num_choices,
         "gap": db.gap,
+        "stash_rows": db.total_rows - db.nb,
         "table_mb": round(db.table.nbytes / 1e6, 2),
-        "load_factor": round(db.num_kmers / (db.nb * db.slots), 4),
+        "load_factor": round(db.num_kmers / (db.total_rows * db.slots), 4),
     }
     print(json.dumps(info, indent=2))
     return 0
@@ -565,10 +566,12 @@ def _add_db_args(p):
                    help="k-mer sampling stride for DB build [1; light=4]")
     p.add_argument("--light", action="store_true",
                    help="light preset: k=27, gap=4 (cuCLARK-l)")
-    p.add_argument("--layout", default="q4", choices=("q4", "s2"),
-                   help="hash table layout: q4 = quotient-compressed "
-                        "32 B rows (faster probe, ~5x less device memory); "
-                        "s2 = legacy full-key rows [q4]")
+    p.add_argument("--layout", default="qs", choices=("qs", "q4", "s2"),
+                   help="hash table layout: qs = quotient-compressed "
+                        "32 B rows with a small stash section (one cold "
+                        "gather per probe, ~1.9x faster at GB-scale "
+                        "tables); q4 = both hash choices over the full "
+                        "table; s2 = legacy full-key rows [qs]")
     p.add_argument("--slots", type=int, default=2,
                    help="hash bucket slots (s2 layout) [2]")
     p.add_argument("--choices", type=int, default=2, choices=(1, 2),

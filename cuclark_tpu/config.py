@@ -51,10 +51,14 @@ class DBConfig:
     slots: int = 2
     target_load: float = 0.7
     num_choices: int = 2
-    # Table layout: "q4" = quotient-compressed 32 B rows (default: half
-    # the gathered bytes, ~5x less HBM per k-mer); "s2" = legacy
-    # full-key rows governed by slots/num_choices.  See hashdb.KmerDB.
-    layout: str = "q4"
+    # Table layout: "qs" (default) = quotient-compressed 32 B rows with
+    # the second hash choice confined to a SMALL stash section appended
+    # below the main rows, so a probe costs ONE cold main-table gather
+    # plus one warm stash gather (~1.9x faster than "q4" at >= 1 GB
+    # tables, where every main gather is a DRAM page miss —
+    # BENCHNOTES.md round 3); "q4" = both choices over the full table;
+    # "s2" = legacy full-key rows governed by slots/num_choices.
+    layout: str = "qs"
     # Host-RAM budget for raw k-mer occurrences during a build; larger
     # inputs spill to disk shards partitioned by k-mer range and reduce
     # out-of-core (the answer to the reference's 146 GB in-RAM mother
@@ -70,8 +74,8 @@ class DBConfig:
             raise ValueError("num_choices must be 1 or 2")
         if self.slots < 1:
             raise ValueError("slots must be >= 1")
-        if self.layout not in ("q4", "s2"):
-            raise ValueError("layout must be 'q4' or 's2'")
+        if self.layout not in ("qs", "q4", "s2"):
+            raise ValueError("layout must be 'qs', 'q4' or 's2'")
 
 
 @dataclasses.dataclass(frozen=True)

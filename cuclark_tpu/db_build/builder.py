@@ -494,6 +494,6 @@ def db_name(cfg: DBConfig, num_targets: int) -> str:
     """Database artifact name, mirroring the reference's encoding of its
     parameters into the filename (getdbName, src/CuCLARK_hh.hh:579-591)."""
     light = f"_g{cfg.gap}" if cfg.gap > 1 else ""
-    lay = ("q4" if cfg.layout == "q4"
+    lay = (cfg.layout if cfg.layout in ("qs", "q4")
            else f"s{cfg.slots}c{cfg.num_choices}")
     return f"db_k{cfg.k}_t{num_targets}_{lay}_m{cfg.min_count}{light}.npz"

@@ -101,32 +101,49 @@ def _split64(kmers: np.ndarray):
 class KmerDB:
     """An immutable, device-loadable k-mer database.
 
-    Two table layouts:
+    Three table layouts:
       "s2" (legacy): uint32 [NB, 3*S] rows = [klo x S | khi x S | lab x S],
           full 64-bit keys stored, `num_choices` independent hashes.
-      "q4" (default): uint32 [NB, 8] rows = [other x 4 | meta x 4] with
+      "q4": uint32 [NB, 8] rows = [other x 4 | meta x 4] with
           meta = (quotient15 << 17) | (choice << 16) | label16.  Keys are
           Feistel-mixed (feistel_mix) so the bucket index pins nb_bits of
           the key and only the other word + a 15-bit quotient need
           storing — 32 B aligned rows at C=4, half the gathered bytes
           and ~5x less HBM per k-mer than s2, exact 64-bit compare via
           reconstruction.  Requires 17 <= nb_bits <= 32.
+      "qs" (default): q4's exact row/meta format, but the choice-1
+          buckets hash into a SMALL stash section of NBS = 1<<stash_bits
+          rows appended below the main rows (table = uint32
+          [NB + NBS, 8]; stash entries quotient against stash_bits).
+          At >= 1 GB tables every random main-row gather is a cold DRAM
+          page miss (~14 ns) while a gather in a <= 67 MB region stays
+          warm (~5 ns), so confining the second choice to the stash
+          turns the probe from two cold gathers into one cold + one
+          warm — ~1.9x at representative DB scale (BENCHNOTES.md
+          round 3).  Requires 17 <= stash_bits <= nb_bits.
     """
 
     k: int
     slots: int
     num_choices: int
-    nb_bits: int                 # NB = 1 << nb_bits buckets
+    nb_bits: int                 # NB = 1 << nb_bits main buckets
     target_names: list[str]      # index 0 == "NA", 1..T real targets
-    table: np.ndarray            # uint32 [NB, 3*slots] (s2) / [NB, 8] (q4)
+    table: np.ndarray            # u32 [NB, 3*slots] (s2) / [NB(+NBS), 8]
     num_kmers: int
     gap: int = 1                 # build-time k-mer stride used
     layout: str = "s2"
-    seed: int = 0                # q4 Feistel seed
+    seed: int = 0                # q4/qs Feistel seed
+    stash_bits: int = 0          # qs: NBS = 1 << stash_bits stash rows
 
     @property
     def nb(self) -> int:
         return 1 << self.nb_bits
+
+    @property
+    def total_rows(self) -> int:
+        """All gatherable bucket rows (main + stash); the row count the
+        mesh/streaming range-sharding planners must split."""
+        return self.table.shape[0]
 
     @property
     def num_targets(self) -> int:
@@ -145,6 +162,7 @@ class KmerDB:
             "gap": self.gap,
             "layout": self.layout,
             "seed": self.seed,
+            "stash_bits": self.stash_bits,
             "target_names": self.target_names,
         }
         np.savez_compressed(
@@ -174,12 +192,13 @@ class KmerDB:
             gap=meta.get("gap", 1),
             layout=meta.get("layout", "s2"),
             seed=meta.get("seed", 0),
+            stash_bits=meta.get("stash_bits", 0),
         )
         if sample_factor > 1:
-            keep = (np.arange(db.nb) % sample_factor) == 0
+            keep = (np.arange(db.total_rows) % sample_factor) == 0
             table = db.table.copy()
-            # q4 empty slots are all-zero (label 0); s2 uses the EMPTY key
-            table[~keep] = 0 if db.layout == "q4" else EMPTY
+            # q4/qs empty slots are all-zero (label 0); s2 uses EMPTY
+            table[~keep] = 0 if db.layout in ("q4", "qs") else EMPTY
             db.table = table
         return db
 
@@ -189,21 +208,30 @@ class KmerDB:
     def items(self) -> tuple[np.ndarray, np.ndarray]:
         """Recover every stored (canonical k-mer, label) pair.
 
-        s2 rows store full keys; q4 entries reconstruct (h1, l2) from
+        s2 rows store full keys; q4/qs entries reconstruct (h1, l2) from
         (bucket, other, quotient, choice) and run the Feistel backwards
         (it is a bijection).  Enables exporting the database to other
         formats (e.g. CLARK .sz/.ky/.lb) without side archives."""
-        if self.layout == "q4":
-            nb = self.nb
+        if self.layout in ("q4", "qs"):
+            rows = self.total_rows
             other = self.table[:, :4].ravel()
             meta = self.table[:, 4:].ravel()
             lab = (meta & _M32(0xFFFF)).astype(np.uint32)
             keep = lab > 0
             other, meta, lab = other[keep], meta[keep], lab[keep]
-            bidx = np.repeat(np.arange(nb, dtype=np.uint32), 4)[keep]
+            bidx = np.repeat(np.arange(rows, dtype=np.uint32), 4)[keep]
             q = meta >> _M32(17)
             choice = (meta >> _M32(16)) & _M32(1)
-            own = (q << _M32(self.nb_bits)) | bidx
+            if self.layout == "qs":
+                # stash rows sit at [NB, NB+NBS); their bucket pins
+                # stash_bits of h1, main rows pin nb_bits of l2
+                local = np.where(choice == 0, bidx, bidx - _M32(self.nb))
+                own = np.where(
+                    choice == 0,
+                    (q << _M32(self.nb_bits)) | local,
+                    (q << _M32(self.stash_bits)) | local)
+            else:
+                own = (q << _M32(self.nb_bits)) | bidx
             h1 = np.where(choice == 0, other, own)
             l2 = np.where(choice == 0, own, other)
             # inverse 3-round Feistel (forward fmix only)
@@ -228,6 +256,9 @@ class KmerDB:
     def probe_np(self, kmers: np.ndarray) -> np.ndarray:
         """Pure-numpy probe (debug/verification twin of probe.probe)."""
         hi, lo = _split64(np.asarray(kmers, dtype=np.uint64))
+        if self.layout == "qs":
+            return probe_np_qs(self.table, self.nb_bits, self.stash_bits,
+                               self.seed, hi, lo)
         if self.layout == "q4":
             return probe_np_q4(self.table, self.nb_bits, self.seed, hi, lo)
         mask = _M32(self.nb - 1)
@@ -282,15 +313,59 @@ def probe_np_q4(table, nb_bits: int, seed: int, hi, lo) -> np.ndarray:
     return label
 
 
+def probe_np_qs(table, nb_bits: int, stash_bits: int, seed: int,
+                hi, lo) -> np.ndarray:
+    """Numpy qs probe: Feistel-mix, gather the main-choice row and the
+    stash row, exact 64-bit reconstruct-compare (verification twin of
+    probe._probe_qs)."""
+    mask = _M32((1 << nb_bits) - 1)
+    smask = _M32((1 << stash_bits) - 1)
+    nb = 1 << nb_bits
+    h1, l2 = feistel_mix(hi, lo, seed)
+    label = np.zeros(len(h1), dtype=np.int32)
+    for choice, own, b, bits in (
+            (0, l2, (l2 & mask).astype(np.int64), nb_bits),
+            (1, h1, nb + (h1 & smask).astype(np.int64), stash_bits)):
+        other = h1 if choice == 0 else l2
+        rows = table[b]
+        meta = rows[:, 4:]
+        m = ((rows[:, :4] == other[:, None])
+             & ((meta >> _M32(17)) == (own >> _M32(bits))[:, None])
+             & (((meta >> _M32(16)) & _M32(1)) == choice))
+        label += np.where(m, (meta & _M32(0xFFFF)).astype(np.int32),
+                          0).sum(axis=1)
+    return label
+
+
 def choose_nb_bits(n_kmers: int, cfg: DBConfig) -> int:
     """Smallest power-of-two bucket count achieving <= target_load."""
-    slots = 4 if cfg.layout == "q4" else cfg.slots
+    slots = 4 if cfg.layout in ("q4", "qs") else cfg.slots
     need = max(1, int(np.ceil(n_kmers / (slots * cfg.target_load))))
     bits = max(4, int(np.ceil(np.log2(need))))
-    if cfg.layout == "q4":
+    if cfg.layout in ("q4", "qs"):
         # quotient must fit 15 bits: 32 - nb_bits <= 15
         bits = max(bits, 17)
     return bits
+
+
+def choose_stash_bits(n_kmers: int, nb_bits: int) -> int:
+    """qs stash sizing: expected choice-1 overflow is the Poisson tail
+    of 4-slot main buckets at lambda = n/NB; size the stash to hold it
+    at ~60% load (cuckoo evictions back into main absorb the variance).
+    Floored at 17 so stash quotients fit 15 bits."""
+    import math
+
+    lam = n_kmers / float(1 << nb_bits)
+    # E[(X - 4)+] for X ~ Poisson(lam)
+    p = math.exp(-lam)
+    excess = 0.0
+    for x in range(1, 64):
+        p *= lam / x
+        if x > 4:
+            excess += (x - 4) * p
+    exp_overflow = excess * (1 << nb_bits)
+    need_rows = max(1.0, exp_overflow * 1.6 / 4.0)
+    return max(17, int(np.ceil(np.log2(need_rows))))
 
 
 def build_table(
@@ -320,7 +395,18 @@ def build_table(
         nb_bits = choose_nb_bits(n, cfg)
 
     for attempt in range(8):
-        if cfg.layout == "q4":
+        if cfg.layout == "qs":
+            db = None
+            sb0 = choose_stash_bits(n, nb_bits)
+            for sb in (sb0, sb0 + 1):  # grow the stash before the main
+                for seed in range(2):  # fresh Feistel constants per retry
+                    db = _try_build_qs(kmers, labels, target_names, cfg,
+                                       nb_bits, min(sb, nb_bits), seed)
+                    if db is not None:
+                        break
+                if db is not None:
+                    break
+        elif cfg.layout == "q4":
             db = None
             for seed in range(4):  # fresh Feistel constants per retry
                 db = _try_build_q4(kmers, labels, target_names, cfg,
@@ -334,6 +420,53 @@ def build_table(
             return db
         nb_bits += 1  # overflow: double the table and retry
     raise RuntimeError("hash table construction failed to converge")
+
+
+def _try_build_qs(kmers, labels, target_names, cfg, nb_bits, stash_bits,
+                  seed):
+    """qs layout build: q4's cuckoo placement with choice-1 confined to
+    the stash section (rows [NB, NB+NBS)).  Native C++ insert loop when
+    available, vectorized numpy otherwise."""
+    from cuclark_tpu import native
+
+    if native.available():
+        table = native.build_q4(kmers, labels, nb_bits,
+                                feistel_seed_consts(seed),
+                                stash_bits=stash_bits)
+        if table is None:
+            return None
+        return KmerDB(
+            k=cfg.k, slots=4, num_choices=2, nb_bits=nb_bits,
+            target_names=list(target_names), table=table,
+            num_kmers=len(kmers), gap=cfg.gap, layout="qs", seed=seed,
+            stash_bits=stash_bits,
+        )
+    hi, lo = _split64(kmers)
+    h1, l2 = feistel_mix(hi, lo, seed)
+    nb = 1 << nb_bits
+    nbs = 1 << stash_bits
+    mask = _M32(nb - 1)
+    smask = _M32(nbs - 1)
+    b1 = (l2 & mask).astype(np.int64)
+    b2 = nb + (h1 & smask).astype(np.int64)
+    placed = _cuckoo_place(b1, b2, nb + nbs, 4)
+    if placed is None:
+        return None
+    bucket, slot, choice = placed
+    table = np.zeros((nb + nbs, 8), dtype=np.uint32)
+    other = np.where(choice == 0, h1, l2)
+    quot = np.where(choice == 0, l2 >> _M32(nb_bits), h1 >> _M32(stash_bits))
+    meta = ((quot.astype(np.uint32) << _M32(17))
+            | (choice.astype(np.uint32) << _M32(16))
+            | labels.astype(np.uint32))
+    table[bucket, slot] = other
+    table[bucket, slot + 4] = meta
+    return KmerDB(
+        k=cfg.k, slots=4, num_choices=2, nb_bits=nb_bits,
+        target_names=list(target_names), table=table,
+        num_kmers=len(kmers), gap=cfg.gap, layout="qs", seed=seed,
+        stash_bits=stash_bits,
+    )
 
 
 def _try_build_q4(kmers, labels, target_names, cfg, nb_bits, seed):

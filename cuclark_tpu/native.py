@@ -82,7 +82,7 @@ def _build() -> ctypes.CDLL | None:
     _U32P = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.build_q4.restype = ctypes.c_int64
     lib.build_q4.argtypes = [
-        _U64P, _U32P, ctypes.c_int64, ctypes.c_int32,
+        _U64P, _U32P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         _U32P, _U8P, ctypes.c_int64]
     lib.spill_partition.restype = None
@@ -344,20 +344,23 @@ def reduce_occurrences(kmers: np.ndarray, labels: np.ndarray,
 
 
 def build_q4(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,
-             seed_consts: tuple[int, int, int], max_kicks: int = 500):
-    """q4-layout table build (C++ Feistel + cuckoo insert loop).
+             seed_consts: tuple[int, int, int], max_kicks: int = 500,
+             stash_bits: int = 0):
+    """q4/qs-layout table build (C++ Feistel + cuckoo insert loop).
 
-    Returns the uint32 [NB, 8] table, or None on overflow (caller
-    reseeds / grows)."""
+    stash_bits == 0 builds classic q4 ([NB, 8]); stash_bits > 0 builds
+    the qs layout with choice-1 buckets in a stash section appended
+    below the main rows ([NB + NBS, 8]).  Returns the uint32 table, or
+    None on overflow (caller reseeds / grows)."""
     lib = _lib()
-    nb = 1 << nb_bits
-    table = np.zeros((nb, 8), dtype=np.uint32)
-    occ = np.zeros(nb, dtype=np.uint8)
+    rows = (1 << nb_bits) + ((1 << stash_bits) if stash_bits else 0)
+    table = np.zeros((rows, 8), dtype=np.uint32)
+    occ = np.zeros(rows, dtype=np.uint8)
     c1, c2, c3 = seed_consts
     rc = lib.build_q4(
         np.ascontiguousarray(kmers, np.uint64),
         np.ascontiguousarray(labels, np.uint32),
-        len(kmers), nb_bits, c1, c2, c3, table, occ, max_kicks,
+        len(kmers), nb_bits, stash_bits, c1, c2, c3, table, occ, max_kicks,
     )
     if rc != 0:
         return None

@@ -47,8 +47,9 @@ def shard_db_table(db: KmerDB, mesh: Mesh):
     """Place the table on the mesh, bucket rows sharded along 'db',
     replicated along 'data'. Returns a device array."""
     num_db = mesh.shape["db"]
-    if db.nb % num_db:
-        raise ValueError(f"bucket count {db.nb} not divisible by db={num_db}")
+    if db.total_rows % num_db:
+        raise ValueError(
+            f"table rows {db.total_rows} not divisible by db={num_db}")
     sharding = NamedSharding(mesh, P("db", None))
     if jax.process_count() > 1:
         # multi-controller: every process holds the full table on the
@@ -84,7 +85,7 @@ def make_global_mesh(num_db: int = 1, devices=None) -> Mesh:
 def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
                            num_choices: int, nb_total: int,
                            with_labels: bool = True, layout: str = "s2",
-                           seed: int = 0):
+                           seed: int = 0, stash_bits: int = 0):
     """Returns a jitted fn (table, packed2, vbits) -> (results [R,5],
     labels [R,P]) with table sharded on 'db' and reads/results sharded
     on 'data'.  Reads arrive in the 2-bit wire format (codec.pack_codes)
@@ -104,7 +105,7 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
         start = jax.lax.axis_index("db").astype(jnp.int32) * nb_local
         labels = probe(table, nb_bits, slots, num_choices, chi, clo,
                        bucket_start=start, nb_local=nb_local,
-                       layout=layout, seed=seed)
+                       layout=layout, seed=seed, stash_bits=stash_bits)
         labels = jnp.where(valid, labels, 0)
         # exact merge: every k-mer matches in at most one db shard
         labels = jax.lax.psum(labels, "db")
@@ -125,7 +126,8 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
 
 def build_sharded_probe_part(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
                              num_choices: int, nb_part: int,
-                             layout: str = "s2", seed: int = 0):
+                             layout: str = "s2", seed: int = 0,
+                             stash_bits: int = 0):
     """Sharded analog of pipeline.probe_part_step: probe ONE bucket-range
     DB part (itself row-sharded over the 'db' axis) against a
     data-sharded packed batch, psum partial labels over 'db'.
@@ -150,7 +152,7 @@ def build_sharded_probe_part(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
                  + jax.lax.axis_index("db").astype(jnp.int32) * nb_local)
         labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
                        bucket_start=start, nb_local=nb_local,
-                       layout=layout, seed=seed)
+                       layout=layout, seed=seed, stash_bits=stash_bits)
         labels = jnp.where(valid, labels, 0)
         return (jax.lax.psum(labels, "db"),)
 
@@ -186,10 +188,11 @@ class ShardedClassifier:
             nb_bits=db.nb_bits,
             slots=db.slots,
             num_choices=db.num_choices,
-            nb_total=db.nb,
+            nb_total=db.total_rows,
             with_labels=with_labels,
             layout=db.layout,
             seed=db.seed,
+            stash_bits=db.stash_bits,
         )
         self._codes_sharding = NamedSharding(mesh, P("data", None))
 

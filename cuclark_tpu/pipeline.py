@@ -42,10 +42,10 @@ DEFAULT_LEN_BINS = (128, 160, 192, 256, 320, 512, 1024, 2048, 4096, 16384)
 
 @functools.partial(
     jax.jit, static_argnames=("k", "nb_bits", "slots", "num_choices",
-                              "with_labels", "layout", "seed")
+                              "with_labels", "layout", "seed", "stash_bits")
 )
 def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
-                  with_labels=True, layout="s2", seed=0):
+                  with_labels=True, layout="s2", seed=0, stash_bits=0):
     """One device step: codes [R, L] -> results [R, 5] (+ labels [R, P]).
 
     Single-chip version (sharded variant in cuclark_tpu.parallel.mesh).
@@ -54,7 +54,7 @@ def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table, nb_bits, slots, num_choices, chi, clo,
-                   layout=layout, seed=seed)
+                   layout=layout, seed=seed, stash_bits=stash_bits)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
     return (results, labels) if with_labels else (results, None)
@@ -62,11 +62,11 @@ def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "nb_bits", "slots", "num_choices",
-                              "with_labels", "layout", "seed")
+                              "with_labels", "layout", "seed", "stash_bits")
 )
 def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
                          num_choices, with_labels=True, layout="s2",
-                         seed=0):
+                         seed=0, stash_bits=0):
     """classify_step on the 2-bit wire format (codec.pack_codes): the
     host ships 4 bases/byte + a validity bitmask — 6.25x fewer
     host->device bytes than uint8 codes, the same reason the reference
@@ -77,7 +77,7 @@ def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table, nb_bits, slots, num_choices, chi, clo,
-                   layout=layout, seed=seed)
+                   layout=layout, seed=seed, stash_bits=stash_bits)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
     return (results, labels) if with_labels else (results, None)
@@ -86,10 +86,11 @@ def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nb_bits", "slots", "num_choices", "nb_local",
-                     "layout", "seed"),
+                     "layout", "seed", "stash_bits"),
 )
 def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
-                    slots, num_choices, nb_local, layout="s2", seed=0):
+                    slots, num_choices, nb_local, layout="s2", seed=0,
+                    stash_bits=0):
     """Probe one DB bucket-range part: packed codes [R, L/4] -> labels
     [R, P].
 
@@ -103,7 +104,7 @@ def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
     chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
                    bucket_start=bucket_start, nb_local=nb_local,
-                   layout=layout, seed=seed)
+                   layout=layout, seed=seed, stash_bits=stash_bits)
     return jnp.where(valid, labels, 0)
 
 
@@ -179,7 +180,8 @@ class Classifier:
             # composition (src/CuClarkDB.cu:813-858).
             num_db = mesh.shape["db"]
             self.stream_parts = plan_stream_parts(
-                db.table.nbytes, self.table_budget_mb, num_db, db.nb)
+                db.table.nbytes, self.table_budget_mb, num_db,
+                db.total_rows)
             if self.stream_parts > 1:
                 self.mesh = mesh
                 self.table = None
@@ -196,7 +198,7 @@ class Classifier:
         # table exceeds the device budget, keep it host-side and stream
         # power-of-two bucket-range parts per batch group.
         self.stream_parts = plan_stream_parts(
-            db.table.nbytes, self.table_budget_mb, 1, db.nb)
+            db.table.nbytes, self.table_budget_mb, 1, db.total_rows)
         if self.stream_parts > 1:
             self.table = None
             self.np_table = np.ascontiguousarray(db.table)
@@ -250,6 +252,7 @@ class Classifier:
             with_labels=self.cfg.extended,
             layout=db.layout,
             seed=db.seed,
+            stash_bits=db.stash_bits,
         )
 
     # ---------- file fast path ----------
@@ -566,7 +569,7 @@ class Classifier:
         (results np [R,5], labels np [R,P] or None) per batch."""
         db = self.db
         P = self.stream_parts
-        rows = db.nb // P
+        rows = db.total_rows // P
         on_mesh = self.mesh is not None
 
         def pack_dev(wire):
@@ -595,7 +598,8 @@ class Classifier:
                 self._mesh_part_step = build_sharded_probe_part(
                     self.mesh, k=db.k, nb_bits=db.nb_bits, slots=db.slots,
                     num_choices=db.num_choices, nb_part=rows,
-                    layout=db.layout, seed=db.seed)
+                    layout=db.layout, seed=db.seed,
+                    stash_bits=db.stash_bits)
             part_sh = NamedSharding(self.mesh, Pspec("db", None))
 
         def upload(p):
@@ -618,6 +622,7 @@ class Classifier:
                         k=db.k, nb_bits=db.nb_bits, slots=db.slots,
                         num_choices=db.num_choices, nb_local=rows,
                         layout=db.layout, seed=db.seed,
+                        stash_bits=db.stash_bits,
                     )
                 acc[gi] = lab if acc[gi] is None else acc[gi] + lab
             del part

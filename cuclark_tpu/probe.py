@@ -46,18 +46,21 @@ def spread_invalid(chi, clo, valid):
 
 def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
           bucket_start=None, nb_local: int | None = None,
-          layout: str = "s2", seed: int = 0):
+          layout: str = "s2", seed: int = 0, stash_bits: int = 0):
     """Look up canonical k-mers in the (possibly sharded) table.
 
-    table:  uint32 [NB_local, 3*slots] ("s2") / [NB_local, 8] ("q4")
+    table:  uint32 [NB_local, 3*slots] ("s2") / [NB_local, 8] ("q4"/"qs")
     khi/klo: uint32 [...], canonical k-mer halves
     bucket_start: starting global bucket index of this shard (traced
         scalar or None for an unsharded table).
     nb_local: number of bucket rows in `table` (static).
-    layout/seed: table layout descriptor (hashdb.KmerDB).
+    layout/seed/stash_bits: table layout descriptor (hashdb.KmerDB).
 
     Returns int32 labels [...]: stored 1-based target label, 0 on miss.
     """
+    if layout == "qs":
+        return _probe_qs(table, nb_bits, stash_bits, seed, khi, klo,
+                         bucket_start, nb_local)
     if layout == "q4":
         return _probe_q4(table, nb_bits, seed, khi, klo,
                          bucket_start, nb_local)
@@ -91,6 +94,60 @@ def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
             m &= (b != b1)[:, None]
         label += jnp.sum(jnp.where(m, rows[:, 2 * S:].astype(jnp.int32), 0), axis=1)
 
+    return label.reshape(shape)
+
+
+def _probe_qs(table, nb_bits: int, stash_bits: int, seed: int, khi, klo,
+              bucket_start=None, nb_local: int | None = None):
+    """qs-layout probe: ONE cold main-table gather + one warm stash
+    gather (stash = the NBS rows appended at [NB, NB+NBS)).
+
+    At representative DB scale every random main-row gather is a DRAM
+    page miss (~14 ns on v5e) while gathers confined to the small stash
+    stay warm (~5 ns), so this costs ~20 ns/window vs q4's two cold
+    gathers at ~28 ns (BENCHNOTES.md round 3).  Row/meta format and the
+    exact 64-bit reconstruct-compare are identical to q4; only the
+    choice-1 bucket space differs.  Sharding: indices are GLOBAL row
+    numbers over main+stash, so the same bucket_start/nb_local range
+    masking (and psum merge) used by q4 applies unchanged — a shard
+    owning stash rows answers the stash side, every other shard
+    contributes 0."""
+    from cuclark_tpu.hashdb import feistel_mix
+
+    shape = khi.shape
+    khi_f = khi.reshape(-1)
+    klo_f = klo.reshape(-1)
+    if nb_local is None:
+        nb_local = table.shape[0]
+    nb = 1 << nb_bits
+    mask = jnp.uint32(nb - 1)
+    smask = jnp.uint32((1 << stash_bits) - 1)
+    one = jnp.uint32(1)
+
+    h1, l2 = feistel_mix(khi_f, klo_f, seed)
+    label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
+    for choice, own, other, bits in ((0, l2, h1, nb_bits),
+                                     (1, h1, l2, stash_bits)):
+        if choice == 0:
+            b = (own & mask).astype(jnp.int32)
+        else:
+            b = nb + (own & smask).astype(jnp.int32)
+        if bucket_start is not None:
+            bloc = b - bucket_start
+            in_range = (bloc >= 0) & (bloc < nb_local)
+            bloc = jnp.clip(bloc, 0, nb_local - 1)
+        else:
+            bloc, in_range = b, None
+        rows = jnp.take(table, bloc, axis=0)          # [NK, 8]
+        meta = rows[:, 4:]
+        m = ((rows[:, :4] == other[:, None])
+             & ((meta >> jnp.uint32(17)) == (own >> jnp.uint32(bits))[:, None])
+             & (((meta >> jnp.uint32(16)) & one) == choice))
+        if in_range is not None:
+            m &= in_range[:, None]
+        label += jnp.sum(
+            jnp.where(m, (meta & jnp.uint32(0xFFFF)).astype(jnp.int32), 0),
+            axis=1)
     return label.reshape(shape)
 
 
