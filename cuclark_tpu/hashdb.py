@@ -145,6 +145,25 @@ class KmerDB:
         mesh/streaming range-sharding planners must split."""
         return self.table.shape[0]
 
+    # Main-table size above which the qs probe runs in SPLIT mode (main
+    # and stash as separate gather operands).  Below it the fused
+    # single-array probe is faster — the whole table is in the warm
+    # gather regime anyway (BENCHNOTES.md round 3: fused 25.7 ms vs
+    # split 36.6 ms per chunk at 71 MB; split 37.3 vs fused 57.1 at
+    # 1.1 GB).
+    SPLIT_MIN_MAIN_MB = 256.0
+
+    def use_split_probe(self) -> bool:
+        return (self.layout == "qs"
+                and self.nb * 32 / 1e6 >= self.SPLIT_MIN_MAIN_MB)
+
+    def split_tables(self) -> tuple[np.ndarray, np.ndarray | None]:
+        """(main, stash) host views for the qs split probe; (table,
+        None) for fused mode and every other layout."""
+        if self.use_split_probe():
+            return self.table[:self.nb], self.table[self.nb:]
+        return self.table, None
+
     @property
     def num_targets(self) -> int:
         return len(self.target_names) - 1

@@ -45,18 +45,27 @@ def make_mesh(num_db: int, num_data: int | None = None, devices=None) -> Mesh:
 
 def shard_db_table(db: KmerDB, mesh: Mesh):
     """Place the table on the mesh, bucket rows sharded along 'db',
-    replicated along 'data'. Returns a device array."""
+    replicated along 'data'.  Returns (table, stash): in qs split mode
+    both the main rows and the small stash are row-sharded device
+    arrays (each shard answers only ranges it owns; psum merges);
+    otherwise stash is None and `table` holds everything."""
     num_db = mesh.shape["db"]
-    if db.total_rows % num_db:
-        raise ValueError(
-            f"table rows {db.total_rows} not divisible by db={num_db}")
-    sharding = NamedSharding(mesh, P("db", None))
-    if jax.process_count() > 1:
-        # multi-controller: every process holds the full table on the
-        # host and materializes only its addressable shards
-        return jax.make_array_from_callback(
-            db.table.shape, sharding, lambda idx: db.table[idx])
-    return jax.device_put(db.table, sharding)
+    main_np, stash_np = db.split_tables()
+
+    def place(arr):
+        if arr.shape[0] % num_db:
+            raise ValueError(
+                f"table rows {arr.shape[0]} not divisible by db={num_db}")
+        sharding = NamedSharding(mesh, P("db", None))
+        if jax.process_count() > 1:
+            # multi-controller: every process holds the full table on the
+            # host and materializes only its addressable shards
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+        return jax.device_put(arr, sharding)
+
+    return place(main_np), (place(stash_np) if stash_np is not None
+                            else None)
 
 
 def make_global_mesh(num_db: int = 1, devices=None) -> Mesh:
@@ -85,39 +94,65 @@ def make_global_mesh(num_db: int = 1, devices=None) -> Mesh:
 def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
                            num_choices: int, nb_total: int,
                            with_labels: bool = True, layout: str = "s2",
-                           seed: int = 0, stash_bits: int = 0):
-    """Returns a jitted fn (table, packed2, vbits) -> (results [R,5],
-    labels [R,P]) with table sharded on 'db' and reads/results sharded
-    on 'data'.  Reads arrive in the 2-bit wire format (codec.pack_codes)
-    and unpack on-chip — host->chip bytes are the scarce resource, as in
-    the reference's u16 read containers (src/CuCLARK_hh.hh:1630-1716).
-    with_labels=False skips materializing the per-window label matrix
-    (only extended output needs it)."""
+                           seed: int = 0, stash_bits: int = 0,
+                           nbs_total: int = 0):
+    """Returns a jitted fn (table, packed2, vbits) or, in qs split mode
+    (nbs_total > 0), (table, stash, packed2, vbits) -> (results [R,5],
+    labels [R,P]) with table (and stash) sharded on 'db' and
+    reads/results sharded on 'data'.  Reads arrive in the 2-bit wire
+    format (codec.pack_codes) and unpack on-chip — host->chip bytes are
+    the scarce resource, as in the reference's u16 read containers
+    (src/CuCLARK_hh.hh:1630-1716).  with_labels=False skips
+    materializing the per-window label matrix (only extended output
+    needs it)."""
     num_db = mesh.shape["db"]
     nb_local = nb_total // num_db
+    nbs_local = nbs_total // num_db
 
-    def local_step(table, packed2, vbits):
-        # packed2: [R_local, L/4]; vbits: [R_local, L/8]; table: [nb_local, 3S]
-        codes = codec.unpack_codes(packed2, vbits)
-        (khi, klo), valid = codec.extract_kmers(codes, k)
-        chi, clo = codec.canonical((khi, klo), k)
-        chi, clo = spread_invalid(chi, clo, valid)
-        start = jax.lax.axis_index("db").astype(jnp.int32) * nb_local
-        labels = probe(table, nb_bits, slots, num_choices, chi, clo,
-                       bucket_start=start, nb_local=nb_local,
-                       layout=layout, seed=seed, stash_bits=stash_bits)
+    def finish(labels, valid):
         labels = jnp.where(valid, labels, 0)
         # exact merge: every k-mer matches in at most one db shard
         labels = jax.lax.psum(labels, "db")
         results = score.score_labels(labels)
         return (results, labels) if with_labels else (results,)
 
+    def prep(packed2, vbits):
+        codes = codec.unpack_codes(packed2, vbits)
+        (khi, klo), valid = codec.extract_kmers(codes, k)
+        chi, clo = codec.canonical((khi, klo), k)
+        chi, clo = spread_invalid(chi, clo, valid)
+        return chi, clo, valid
+
+    if nbs_total:
+        def local_step(table, stash, packed2, vbits):
+            chi, clo, valid = prep(packed2, vbits)
+            ax = jax.lax.axis_index("db").astype(jnp.int32)
+            labels = probe(table, nb_bits, slots, num_choices, chi, clo,
+                           bucket_start=ax * nb_local, nb_local=nb_local,
+                           layout=layout, seed=seed, stash_bits=stash_bits,
+                           stash=stash, stash_start=ax * nbs_local,
+                           nbs_local=nbs_local)
+            return finish(labels, valid)
+
+        in_specs = (P("db", None), P("db", None), P("data", None),
+                    P("data", None))
+    else:
+        def local_step(table, packed2, vbits):
+            chi, clo, valid = prep(packed2, vbits)
+            start = jax.lax.axis_index("db").astype(jnp.int32) * nb_local
+            labels = probe(table, nb_bits, slots, num_choices, chi, clo,
+                           bucket_start=start, nb_local=nb_local,
+                           layout=layout, seed=seed, stash_bits=stash_bits)
+            return finish(labels, valid)
+
+        in_specs = (P("db", None), P("data", None), P("data", None))
+
     out_specs = ((P("data", None), P("data", None)) if with_labels
                  else (P("data", None),))
     shardd = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("db", None), P("data", None), P("data", None)),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )
@@ -127,7 +162,8 @@ def build_sharded_classify(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
 def build_sharded_probe_part(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
                              num_choices: int, nb_part: int,
                              layout: str = "s2", seed: int = 0,
-                             stash_bits: int = 0):
+                             stash_bits: int = 0, with_stash: bool = False,
+                             skip_stash: bool = False):
     """Sharded analog of pipeline.probe_part_step: probe ONE bucket-range
     DB part (itself row-sharded over the 'db' axis) against a
     data-sharded packed batch, psum partial labels over 'db'.
@@ -137,29 +173,57 @@ def build_sharded_probe_part(mesh: Mesh, *, k: int, nb_bits: int, slots: int,
     813-858): the global bucket space splits into parts (host-streamed)
     x db-axis shards (resident per upload).  nb_part = rows per part;
     each device holds nb_part/num_db rows; part_start is traced so one
-    compiled program serves every part."""
+    compiled program serves every part.
+
+    qs split mode: parts cover MAIN rows; build one program with
+    with_stash=True (takes the resident row-sharded stash, used for
+    exactly one part per batch) and one with skip_stash=True for the
+    rest."""
     num_db = mesh.shape["db"]
     if nb_part % num_db:
         raise ValueError(f"part rows {nb_part} not divisible by db={num_db}")
     nb_local = nb_part // num_db
 
-    def local_step(table_part, packed2, vbits, part_start):
+    def prep(packed2, vbits):
         codes = codec.unpack_codes(packed2, vbits)
         (khi, klo), valid = codec.extract_kmers(codes, k)
         chi, clo = codec.canonical((khi, klo), k)
         chi, clo = spread_invalid(chi, clo, valid)
-        start = (part_start
-                 + jax.lax.axis_index("db").astype(jnp.int32) * nb_local)
-        labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
-                       bucket_start=start, nb_local=nb_local,
-                       layout=layout, seed=seed, stash_bits=stash_bits)
-        labels = jnp.where(valid, labels, 0)
-        return (jax.lax.psum(labels, "db"),)
+        return chi, clo, valid
+
+    if with_stash:
+        def local_step(table_part, stash, packed2, vbits, part_start):
+            chi, clo, valid = prep(packed2, vbits)
+            ax = jax.lax.axis_index("db").astype(jnp.int32)
+            nbs_local = stash.shape[0]
+            labels = probe(table_part, nb_bits, slots, num_choices, chi,
+                           clo, bucket_start=part_start + ax * nb_local,
+                           nb_local=nb_local, layout=layout, seed=seed,
+                           stash_bits=stash_bits, stash=stash,
+                           stash_start=ax * nbs_local, nbs_local=nbs_local)
+            labels = jnp.where(valid, labels, 0)
+            return (jax.lax.psum(labels, "db"),)
+
+        in_specs = (P("db", None), P("db", None), P("data", None),
+                    P("data", None), P())
+    else:
+        def local_step(table_part, packed2, vbits, part_start):
+            chi, clo, valid = prep(packed2, vbits)
+            start = (part_start
+                     + jax.lax.axis_index("db").astype(jnp.int32) * nb_local)
+            labels = probe(table_part, nb_bits, slots, num_choices, chi,
+                           clo, bucket_start=start, nb_local=nb_local,
+                           layout=layout, seed=seed, stash_bits=stash_bits,
+                           skip_stash=skip_stash)
+            labels = jnp.where(valid, labels, 0)
+            return (jax.lax.psum(labels, "db"),)
+
+        in_specs = (P("db", None), P("data", None), P("data", None), P())
 
     shardd = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("db", None), P("data", None), P("data", None), P()),
+        in_specs=in_specs,
         out_specs=(P("data", None),),
         check_vma=False,
     )
@@ -181,18 +245,20 @@ class ShardedClassifier:
         self.mesh = mesh
         self.with_labels = with_labels
         self.multihost = multihost or jax.process_count() > 1
-        self.table = shard_db_table(db, mesh)
+        self.table, self.stash = shard_db_table(db, mesh)
+        main_np, stash_np = db.split_tables()
         self._step = build_sharded_classify(
             mesh,
             k=db.k,
             nb_bits=db.nb_bits,
             slots=db.slots,
             num_choices=db.num_choices,
-            nb_total=db.total_rows,
+            nb_total=main_np.shape[0],
             with_labels=with_labels,
             layout=db.layout,
             seed=db.seed,
             stash_bits=db.stash_bits,
+            nbs_total=(stash_np.shape[0] if stash_np is not None else 0),
         )
         self._codes_sharding = NamedSharding(mesh, P("data", None))
 
@@ -217,7 +283,10 @@ class ShardedClassifier:
         else:
             dev_p2 = jax.device_put(packed2, self._codes_sharding)
             dev_vb = jax.device_put(vbits, self._codes_sharding)
-        out = self._step(self.table, dev_p2, dev_vb)
+        if self.stash is not None:
+            out = self._step(self.table, self.stash, dev_p2, dev_vb)
+        else:
+            out = self._step(self.table, dev_p2, dev_vb)
         return (out[0], out[1]) if self.with_labels else (out[0], None)
 
     @staticmethod

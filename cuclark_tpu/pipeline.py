@@ -45,16 +45,19 @@ DEFAULT_LEN_BINS = (128, 160, 192, 256, 320, 512, 1024, 2048, 4096, 16384)
                               "with_labels", "layout", "seed", "stash_bits")
 )
 def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
-                  with_labels=True, layout="s2", seed=0, stash_bits=0):
+                  with_labels=True, layout="s2", seed=0, stash_bits=0,
+                  stash=None):
     """One device step: codes [R, L] -> results [R, 5] (+ labels [R, P]).
 
     Single-chip version (sharded variant in cuclark_tpu.parallel.mesh).
+    stash: qs split-mode stash array (see probe.probe).
     """
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table, nb_bits, slots, num_choices, chi, clo,
-                   layout=layout, seed=seed, stash_bits=stash_bits)
+                   layout=layout, seed=seed, stash_bits=stash_bits,
+                   stash=stash)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
     return (results, labels) if with_labels else (results, None)
@@ -66,7 +69,7 @@ def classify_step(table, codes, *, k, nb_bits, slots, num_choices,
 )
 def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
                          num_choices, with_labels=True, layout="s2",
-                         seed=0, stash_bits=0):
+                         seed=0, stash_bits=0, stash=None):
     """classify_step on the 2-bit wire format (codec.pack_codes): the
     host ships 4 bases/byte + a validity bitmask — 6.25x fewer
     host->device bytes than uint8 codes, the same reason the reference
@@ -77,7 +80,8 @@ def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table, nb_bits, slots, num_choices, chi, clo,
-                   layout=layout, seed=seed, stash_bits=stash_bits)
+                   layout=layout, seed=seed, stash_bits=stash_bits,
+                   stash=stash)
     labels = jnp.where(valid, labels, 0)
     results = score.score_labels(labels)
     return (results, labels) if with_labels else (results, None)
@@ -86,25 +90,29 @@ def classify_step_packed(table, packed2, vbits, *, k, nb_bits, slots,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nb_bits", "slots", "num_choices", "nb_local",
-                     "layout", "seed", "stash_bits"),
+                     "layout", "seed", "stash_bits", "skip_stash"),
 )
 def probe_part_step(table_part, packed2, vbits, bucket_start, *, k, nb_bits,
                     slots, num_choices, nb_local, layout="s2", seed=0,
-                    stash_bits=0):
+                    stash_bits=0, stash=None, skip_stash=False):
     """Probe one DB bucket-range part: packed codes [R, L/4] -> labels
     [R, P].
 
     The single-chip analog of one reference swap cycle's queryKernel
     pass over a DB part (src/CuClarkDB.cu:813-858 swapDbParts +
     :1045-1243); partial label arrays merge by addition because every
-    k-mer lives in at most one part."""
+    k-mer lives in at most one part.  qs split mode streams parts of
+    the MAIN rows only; the resident stash array is passed on exactly
+    one part's call per batch (its matches merge like any other part's).
+    """
     codes = codec.unpack_codes(packed2, vbits)
     (khi, klo), valid = codec.extract_kmers(codes, k)
     chi, clo = codec.canonical((khi, klo), k)
     chi, clo = spread_invalid(chi, clo, valid)
     labels = probe(table_part, nb_bits, slots, num_choices, chi, clo,
                    bucket_start=bucket_start, nb_local=nb_local,
-                   layout=layout, seed=seed, stash_bits=stash_bits)
+                   layout=layout, seed=seed, stash_bits=stash_bits,
+                   stash=stash, skip_stash=skip_stash)
     return jnp.where(valid, labels, 0)
 
 
@@ -166,6 +174,7 @@ class Classifier:
         self.stream_parts = 1
         self._sharded = None
         self.mesh = None
+        self.stash = None  # qs split mode: resident stash device array
         # Effective per-device budget: explicit --max-table-mb, else the
         # measured device HBM (reference free-VRAM probe + RESERVED,
         # src/CuClarkDB.cu:540-574); None = unbounded (CPU hosts).
@@ -179,14 +188,19 @@ class Classifier:
             # batch group — the reference's cycles x devices x parts
             # composition (src/CuClarkDB.cu:813-858).
             num_db = mesh.shape["db"]
+            main_np, stash_np = db.split_tables()
             self.stream_parts = plan_stream_parts(
                 db.table.nbytes, self.table_budget_mb, num_db,
-                db.total_rows)
+                main_np.shape[0])
             if self.stream_parts > 1:
                 self.mesh = mesh
                 self.table = None
-                self.np_table = np.ascontiguousarray(db.table)
+                self.np_table = np.ascontiguousarray(main_np)
+                self.np_stash = (np.ascontiguousarray(stash_np)
+                                 if stash_np is not None else None)
+                self._stash_part = None  # uploaded lazily
                 self._mesh_part_step = None  # built lazily
+                self._mesh_part_step_stash = None
                 return
             from cuclark_tpu.parallel.mesh import ShardedClassifier
 
@@ -196,14 +210,21 @@ class Classifier:
             return
         # DB streaming decision (reference swap-cycle analog): if the
         # table exceeds the device budget, keep it host-side and stream
-        # power-of-two bucket-range parts per batch group.
+        # power-of-two bucket-range parts per batch group.  qs split
+        # mode streams MAIN rows only; the small stash stays resident.
+        main_np, stash_np = db.split_tables()
         self.stream_parts = plan_stream_parts(
-            db.table.nbytes, self.table_budget_mb, 1, db.total_rows)
+            db.table.nbytes, self.table_budget_mb, 1, main_np.shape[0])
         if self.stream_parts > 1:
             self.table = None
-            self.np_table = np.ascontiguousarray(db.table)
+            self.np_table = np.ascontiguousarray(main_np)
+            self.np_stash = (np.ascontiguousarray(stash_np)
+                             if stash_np is not None else None)
+            self._stash_part = None  # uploaded lazily
         else:
-            self.table = jnp.asarray(db.table)
+            self.table = jnp.asarray(main_np)
+            self.stash = (jnp.asarray(stash_np)
+                          if stash_np is not None else None)
 
     def _bin_for(self, max_len: int) -> int:
         for b in self.len_bins:
@@ -253,6 +274,7 @@ class Classifier:
             layout=db.layout,
             seed=db.seed,
             stash_bits=db.stash_bits,
+            stash=self.stash,
         )
 
     # ---------- file fast path ----------
@@ -569,8 +591,9 @@ class Classifier:
         (results np [R,5], labels np [R,P] or None) per batch."""
         db = self.db
         P = self.stream_parts
-        rows = db.total_rows // P
+        rows = self.np_table.shape[0] // P
         on_mesh = self.mesh is not None
+        split = self.np_stash is not None
 
         def pack_dev(wire):
             p2, vb = wire
@@ -599,7 +622,14 @@ class Classifier:
                     self.mesh, k=db.k, nb_bits=db.nb_bits, slots=db.slots,
                     num_choices=db.num_choices, nb_part=rows,
                     layout=db.layout, seed=db.seed,
-                    stash_bits=db.stash_bits)
+                    stash_bits=db.stash_bits,
+                    with_stash=False, skip_stash=split)
+                if split:
+                    self._mesh_part_step_stash = build_sharded_probe_part(
+                        self.mesh, k=db.k, nb_bits=db.nb_bits,
+                        slots=db.slots, num_choices=db.num_choices,
+                        nb_part=rows, layout=db.layout, seed=db.seed,
+                        stash_bits=db.stash_bits, with_stash=True)
             part_sh = NamedSharding(self.mesh, Pspec("db", None))
 
         def upload(p):
@@ -608,14 +638,25 @@ class Classifier:
                 return jax.device_put(part_np, part_sh)
             return jnp.asarray(part_np)
 
+        if split and self._stash_part is None:
+            # qs split mode: the small stash stays device-resident across
+            # all parts/groups and is probed on part 0's call only
+            self._stash_part = (jax.device_put(self.np_stash, part_sh)
+                                if on_mesh else jnp.asarray(self.np_stash))
+
         acc = [None] * len(dev)
         nxt = upload(0)
         for p in range(P):
             part, nxt = nxt, (upload(p + 1) if p + 1 < P else None)
             for gi, (p2, vb) in enumerate(dev):
                 if on_mesh:
-                    (lab,) = self._mesh_part_step(part, p2, vb,
-                                                  jnp.int32(p * rows))
+                    if split and p == 0:
+                        (lab,) = self._mesh_part_step_stash(
+                            part, self._stash_part, p2, vb,
+                            jnp.int32(p * rows))
+                    else:
+                        (lab,) = self._mesh_part_step(part, p2, vb,
+                                                      jnp.int32(p * rows))
                 else:
                     lab = probe_part_step(
                         part, p2, vb, jnp.int32(p * rows),
@@ -623,6 +664,9 @@ class Classifier:
                         num_choices=db.num_choices, nb_local=rows,
                         layout=db.layout, seed=db.seed,
                         stash_bits=db.stash_bits,
+                        stash=(self._stash_part if split and p == 0
+                               else None),
+                        skip_stash=split and p > 0,
                     )
                 acc[gi] = lab if acc[gi] is None else acc[gi] + lab
             del part

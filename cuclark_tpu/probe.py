@@ -46,7 +46,9 @@ def spread_invalid(chi, clo, valid):
 
 def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
           bucket_start=None, nb_local: int | None = None,
-          layout: str = "s2", seed: int = 0, stash_bits: int = 0):
+          layout: str = "s2", seed: int = 0, stash_bits: int = 0,
+          stash=None, stash_start=None, nbs_local: int | None = None,
+          skip_stash: bool = False):
     """Look up canonical k-mers in the (possibly sharded) table.
 
     table:  uint32 [NB_local, 3*slots] ("s2") / [NB_local, 8] ("q4"/"qs")
@@ -55,10 +57,26 @@ def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
         scalar or None for an unsharded table).
     nb_local: number of bucket rows in `table` (static).
     layout/seed/stash_bits: table layout descriptor (hashdb.KmerDB).
+    stash: qs split mode — the stash section as a SEPARATE array
+        (device-side [NBS_local, 8]); None = fused mode, `table` holds
+        main+stash rows concatenated.  Split mode keeps the stash a
+        distinct gather operand so XLA cannot merge the two takes into
+        one cold gather over the big array — required to realize the
+        warm-stash advantage at GB-scale main tables (BENCHNOTES.md
+        round 3: fused 57 ms vs split 37 ms per chunk at 1 GB; fused
+        wins below ~100 MB, so small tables stay fused).
+    stash_start/nbs_local: shard range of `stash` when it is sharded.
+    skip_stash: qs split streaming — probe `table` as MAIN rows only
+        (this part carries no stash rows; another part's call covers
+        the stash side).
 
     Returns int32 labels [...]: stored 1-based target label, 0 on miss.
     """
     if layout == "qs":
+        if stash is not None or skip_stash:
+            return _probe_qs_split(table, stash, nb_bits, stash_bits, seed,
+                                   khi, klo, bucket_start, nb_local,
+                                   stash_start, nbs_local)
         return _probe_qs(table, nb_bits, stash_bits, seed, khi, klo,
                          bucket_start, nb_local)
     if layout == "q4":
@@ -139,6 +157,59 @@ def _probe_qs(table, nb_bits: int, stash_bits: int, seed: int, khi, klo,
         else:
             bloc, in_range = b, None
         rows = jnp.take(table, bloc, axis=0)          # [NK, 8]
+        meta = rows[:, 4:]
+        m = ((rows[:, :4] == other[:, None])
+             & ((meta >> jnp.uint32(17)) == (own >> jnp.uint32(bits))[:, None])
+             & (((meta >> jnp.uint32(16)) & one) == choice))
+        if in_range is not None:
+            m &= in_range[:, None]
+        label += jnp.sum(
+            jnp.where(m, (meta & jnp.uint32(0xFFFF)).astype(jnp.int32), 0),
+            axis=1)
+    return label.reshape(shape)
+
+
+def _probe_qs_split(main, stash, nb_bits: int, stash_bits: int, seed: int,
+                    khi, klo, bucket_start=None, nb_local: int | None = None,
+                    stash_start=None, nbs_local: int | None = None):
+    """qs split-mode probe: main and stash as separate gather operands.
+
+    One cold gather on the big main table + one warm gather on the
+    small stash array — ~1.5x the fused probe at GB-scale main tables,
+    where XLA would otherwise combine both takes into one cold gather
+    (BENCHNOTES.md round 3).  Sharding: each operand carries its own
+    (start, local-rows) range with mask-out-of-range semantics, so both
+    arrays can be row-sharded over the db mesh axis and the psum merge
+    stays exact.  stash=None probes the main side only (split-mode
+    streaming parts that carry no stash rows)."""
+    from cuclark_tpu.hashdb import feistel_mix
+
+    shape = khi.shape
+    khi_f = khi.reshape(-1)
+    klo_f = klo.reshape(-1)
+    if nb_local is None:
+        nb_local = main.shape[0]
+    mask = jnp.uint32((1 << nb_bits) - 1)
+    smask = jnp.uint32((1 << stash_bits) - 1)
+    one = jnp.uint32(1)
+
+    h1, l2 = feistel_mix(khi_f, klo_f, seed)
+    label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
+    sides = [(0, main, l2, h1, nb_bits, l2 & mask, bucket_start, nb_local)]
+    if stash is not None:
+        if nbs_local is None:
+            nbs_local = stash.shape[0]
+        sides.append((1, stash, h1, l2, stash_bits, h1 & smask,
+                      stash_start, nbs_local))
+    for choice, tbl, own, other, bits, bkt, start, local in sides:
+        b = bkt.astype(jnp.int32)
+        if start is not None:
+            bloc = b - start
+            in_range = (bloc >= 0) & (bloc < local)
+            bloc = jnp.clip(bloc, 0, local - 1)
+        else:
+            bloc, in_range = b, None
+        rows = jnp.take(tbl, bloc, axis=0)            # [NK, 8]
         meta = rows[:, 4:]
         m = ((rows[:, :4] == other[:, None])
              & ((meta >> jnp.uint32(17)) == (own >> jnp.uint32(bits))[:, None])

@@ -160,6 +160,81 @@ def test_qs_sample_factor(tmp_path):
                                       labels[mask].astype(np.int32))
 
 
+def _force_split(monkeypatch):
+    """Make every qs table take the split probe path (main and stash as
+    separate gather operands — production behavior at >= 256 MB)."""
+    monkeypatch.setattr(KmerDB, "SPLIT_MIN_MAIN_MB", 0.0)
+
+
+def _mk_inputs(tmp_path, seed=37):
+    import random
+
+    from cuclark_tpu.db_build.builder import build_db
+
+    rng = random.Random(seed)
+    g = "".join(rng.choice("ACGT") for _ in range(4000))
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{g}\n")
+    db = build_db([(str(p), "S1")], DBConfig(k=25, layout="qs"))
+    reads = [g[i: i + 100] for i in
+             (rng.randrange(0, 3900) for _ in range(30))]
+    fq = tmp_path / "r.fq"
+    fq.write_text("".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+                          for i, s in enumerate(reads)))
+    return db, fq
+
+
+def test_qs_split_probe_matches_fused(tmp_path, monkeypatch):
+    """Split-mode rows == fused-mode rows (same DB, same reads)."""
+    from cuclark_tpu.config import ClassifyConfig
+    from cuclark_tpu.pipeline import Classifier
+
+    db, fq = _mk_inputs(tmp_path)
+    assert not db.use_split_probe()
+    fused = list(Classifier(db, ClassifyConfig(batch_reads=16))
+                 .classify_file(fq))
+    _force_split(monkeypatch)
+    assert db.use_split_probe()
+    clf = Classifier(db, ClassifyConfig(batch_reads=16))
+    assert clf.stash is not None
+    assert list(clf.classify_file(fq)) == fused
+
+
+def test_qs_split_sharded_matches_single(tmp_path, monkeypatch):
+    """Split mode on a (db x data) mesh == fused single-chip rows."""
+    import jax
+
+    from cuclark_tpu.config import ClassifyConfig
+    from cuclark_tpu.pipeline import Classifier
+    from cuclark_tpu.parallel.mesh import ShardedClassifier, make_mesh
+
+    db, fq = _mk_inputs(tmp_path)
+    base = list(Classifier(db, ClassifyConfig(batch_reads=16))
+                .classify_file(fq))
+    _force_split(monkeypatch)
+    mesh = make_mesh(num_db=2, num_data=2, devices=jax.devices()[:4])
+    clf = Classifier(db, ClassifyConfig(batch_reads=16), mesh=mesh)
+    assert clf._sharded is not None and clf._sharded.stash is not None
+    assert list(clf.classify_file(fq)) == base
+
+
+def test_qs_split_streaming_matches_resident(tmp_path, monkeypatch):
+    """Split mode with host-streamed main parts + resident stash ==
+    fused resident rows."""
+    from cuclark_tpu.config import ClassifyConfig
+    from cuclark_tpu.pipeline import Classifier
+
+    db, fq = _mk_inputs(tmp_path)
+    base = list(Classifier(db, ClassifyConfig(batch_reads=16))
+                .classify_file(fq))
+    _force_split(monkeypatch)
+    part_mb = db.nb * 32 / 4 / 1e6
+    clf = Classifier(db, ClassifyConfig(batch_reads=16,
+                                        max_table_mb=part_mb))
+    assert clf.stream_parts > 1 and clf.np_stash is not None
+    assert list(clf.classify_file(fq)) == base
+
+
 def test_qs_streaming_parts_cover_stash(tmp_path):
     """Host-streamed bucket-range parts must cover the stash rows too:
     streaming a qs table split into parts equals the resident result."""
