@@ -89,7 +89,7 @@ def main():
                         for a in codec.pack_codes(codes[i: i + chunk]))
                   for i in range(0, n_reads, chunk)]
 
-    def make_runner(db, table, chunks):
+    def make_runner(db, table, chunks, stash=None):
         def run():
             # scalar checksum forces real execution of every chunk; a
             # bare block_until_ready can return early through the
@@ -99,7 +99,9 @@ def main():
                 results, _ = classify_step_packed(
                     table, p2, vb, k=db.k, nb_bits=db.nb_bits,
                     slots=db.slots, num_choices=db.num_choices,
-                    layout=db.layout, seed=db.seed, with_labels=False)
+                    layout=db.layout, seed=db.seed,
+                    stash_bits=db.stash_bits, stash=stash,
+                    with_labels=False)
                 acc = acc + results[:, 0].sum() % 97
             return float(np.asarray(acc))
         return run
@@ -125,11 +127,16 @@ def main():
         return db, time.time() - t0
 
     # --- HEADLINE: at-scale device step (RefSeq-bacteria-shaped) ---
+    # probe mode mirrors the production Classifier: split main/stash
+    # operands at scale (see hashdb.KmerDB.use_split_probe)
     _log(f"building at-scale table ({scale_kmers} kmers)")
     db_s, scale_build = synth_db(scale_kmers, scale_targets, 0.85)
-    tbl_s = jnp.asarray(db_s.table)
+    main_s, stash_s = db_s.split_tables()
+    tbl_s = jnp.asarray(main_s)
+    stash_dev = jnp.asarray(stash_s) if stash_s is not None else None
     _log("at-scale warmup compile")
-    rps_scale, dt_s = time_reps(make_runner(db_s, tbl_s, dev_chunks), n_reads)
+    rps_scale, dt_s = time_reps(
+        make_runner(db_s, tbl_s, dev_chunks, stash_dev), n_reads)
     detail.update({
         "n_reads": n_reads,
         "db_kmers": int(db_s.num_kmers),
@@ -137,6 +144,7 @@ def main():
         "layout": db_s.layout,
         "table_mb": round(db_s.table.nbytes / 1e6, 1),
         "db_build_s": round(scale_build, 1),
+        "split_probe": stash_dev is not None,
         "step_ms": round(dt_s * 1e3, 2),
         "kmer_probes_per_sec": round(rps_scale * (read_len - k + 1), 0),
     })
@@ -187,17 +195,23 @@ def main():
                 out_csv = Path(td) / "out.csv"
                 _log(f"{tag} warmup")
                 clf.classify_file_to_csv(fq, out_csv)  # warmup (compile)
-                t0 = time.time()
-                n = clf.classify_file_to_csv(fq, out_csv)
-                e2e_dt = time.time() - t0
-                assert n == e2e_reads
+                # best of 2 timed passes: the remote relay occasionally
+                # degrades for tens of seconds and poisons single-pass
+                # e2e timings (observed 253K vs 31K on back-to-back
+                # runs of identical code)
+                e2e_dt = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    n = clf.classify_file_to_csv(fq, out_csv)
+                    e2e_dt = min(e2e_dt, time.time() - t0)
+                    assert n == e2e_reads
                 detail[tag] = {
                     "reads_per_sec": round(e2e_reads / e2e_dt, 1),
                     "objects_per_min": int(e2e_reads / e2e_dt * 60),
                 }
         detail["e2e_reads_per_sec"] = detail["e2e_scale"]["reads_per_sec"]
 
-    del table, tbl_s
+    del table, tbl_s, stash_dev
 
     # --- out-of-core build probe (spill path; VERDICT r02 item 7) ---
     build_mb = int(os.environ.get("CUCLARK_BENCH_BUILD_MB", 48))
