@@ -44,6 +44,21 @@ def spread_invalid(chi, clo, valid):
     return chi, clo
 
 
+def _spread_oob(bloc, in_range, local: int):
+    """Redirect out-of-shard-range lanes to DISTINCT in-bounds rows.
+
+    A plain clip sends every out-of-range lane to row 0 or local-1, and
+    repeated-row gathers measured 2.3x slower than distinct rows (the
+    gather engine serializes same-row traffic — BENCHNOTES.md).  On a
+    db-sharded mesh most lanes of every shard are out of range, so the
+    clamp would put the whole probe on the slow path; spreading the
+    dead lanes across the shard keeps them at the flat per-row rate.
+    Matches on redirected lanes are masked by `in_range` downstream."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (*bloc.shape, 1),
+                                    bloc.ndim - 1).reshape(bloc.shape)
+    return jnp.where(in_range, bloc, iota % jnp.int32(local))
+
+
 def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
           bucket_start=None, nb_local: int | None = None,
           layout: str = "s2", seed: int = 0, stash_bits: int = 0,
@@ -98,7 +113,7 @@ def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
         if bucket_start is not None:
             bloc = b.astype(jnp.int32) - bucket_start
             in_range = (bloc >= 0) & (bloc < nb_local)
-            bloc = jnp.clip(bloc, 0, nb_local - 1)
+            bloc = _spread_oob(bloc, in_range, nb_local)
         else:
             bloc = b.astype(jnp.int32)
             in_range = None
@@ -153,7 +168,7 @@ def _probe_qs(table, nb_bits: int, stash_bits: int, seed: int, khi, klo,
         if bucket_start is not None:
             bloc = b - bucket_start
             in_range = (bloc >= 0) & (bloc < nb_local)
-            bloc = jnp.clip(bloc, 0, nb_local - 1)
+            bloc = _spread_oob(bloc, in_range, nb_local)
         else:
             bloc, in_range = b, None
         rows = jnp.take(table, bloc, axis=0)          # [NK, 8]
@@ -206,7 +221,7 @@ def _probe_qs_split(main, stash, nb_bits: int, stash_bits: int, seed: int,
         if start is not None:
             bloc = b - start
             in_range = (bloc >= 0) & (bloc < local)
-            bloc = jnp.clip(bloc, 0, local - 1)
+            bloc = _spread_oob(bloc, in_range, local)
         else:
             bloc, in_range = b, None
         rows = jnp.take(tbl, bloc, axis=0)            # [NK, 8]
@@ -247,7 +262,7 @@ def _probe_q4(table, nb_bits: int, seed: int, khi, klo,
         if bucket_start is not None:
             bloc = b - bucket_start
             in_range = (bloc >= 0) & (bloc < nb_local)
-            bloc = jnp.clip(bloc, 0, nb_local - 1)
+            bloc = _spread_oob(bloc, in_range, nb_local)
         else:
             bloc, in_range = b, None
         rows = jnp.take(table, bloc, axis=0)          # [NK, 8]

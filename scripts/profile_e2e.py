@@ -18,12 +18,18 @@ from cuclark_tpu.hashdb import build_table
 from cuclark_tpu.pipeline import Classifier
 
 N_READS = int(os.environ.get("N", 200_000))
+N_KMERS = int(os.environ.get("KMERS", 4_000_000))
+N_TARGETS = int(os.environ.get("TARGETS", 1024))
 rng = np.random.default_rng(0)
 km = np.unique(codec.canonical_np(
-    rng.integers(0, 1 << 62, size=4_200_000, dtype=np.uint64), 31))[:4_000_000]
-labels = rng.integers(1, 1025, size=len(km)).astype(np.uint32)
-db = build_table(km, labels, ["NA"] + [f"T{i}" for i in range(1, 1025)],
-                 DBConfig(k=31))
+    rng.integers(0, 1 << 62, size=int(N_KMERS * 1.05), dtype=np.uint64),
+    31))[:N_KMERS]
+labels = rng.integers(1, N_TARGETS + 1, size=len(km)).astype(np.uint32)
+db = build_table(km, labels,
+                 ["NA"] + [f"T{i}" for i in range(1, N_TARGETS + 1)],
+                 DBConfig(k=31, target_load=0.85))
+print(f"db: {db.table.nbytes / 1e6:.0f}MB split={db.use_split_probe()}",
+      flush=True)
 
 genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
 starts = rng.integers(0, len(genome) - 150, size=N_READS)
