@@ -35,9 +35,11 @@ from cuclark_tpu.probe import probe, spread_invalid
 # Length bins: a read is packed into the smallest bin holding it, so a
 # batch of short reads never pays for a rare long read.  Bins are dense
 # in the short-read range because padding windows cost real gather time
-# (a 150 bp read in a 256 bin spends ~45% of its probes on padding);
-# uniform-length files compile exactly one bin.
-DEFAULT_LEN_BINS = (128, 160, 192, 256, 320, 512, 1024, 2048, 4096, 16384)
+# (a 150 bp read in a 256 bin spends ~45% of its probes on padding; the
+# 152 bin puts Illumina-length reads at 122 windows instead of 160's
+# 130); uniform-length files compile exactly one bin.
+DEFAULT_LEN_BINS = (128, 152, 160, 192, 256, 320, 512, 1024, 2048, 4096,
+                    16384)
 
 
 @functools.partial(
