@@ -356,6 +356,29 @@ def probe_np_qs(table, nb_bits: int, stash_bits: int, seed: int,
     return label
 
 
+# q4/qs row indices are computed in int32 on device (and the qs stash
+# sits at global rows [NB, NB+NBS)), so NB + NBS must stay below 2^31;
+# nb_bits 30 already addresses a 34 GB main table — beyond any
+# single-device HBM, where db-axis sharding takes over anyway.
+MAX_NB_BITS_Q = 30
+
+
+def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
+    """Reject q4/qs geometries whose global row indices overflow int32
+    (gathers would silently wrap negative and probe wrong rows)."""
+    if layout not in ("q4", "qs"):
+        return
+    if nb_bits > MAX_NB_BITS_Q:
+        raise ValueError(
+            f"{layout} layout supports nb_bits <= {MAX_NB_BITS_Q} "
+            f"(got {nb_bits}): row indices are int32 on device. "
+            f"Shard the table over a db mesh axis instead.")
+    if layout == "qs" and (1 << nb_bits) + (1 << stash_bits) > 2 ** 31 - 1:
+        raise ValueError(
+            f"qs stash rows overflow int32 indexing: nb_bits={nb_bits} "
+            f"stash_bits={stash_bits}")
+
+
 def choose_nb_bits(n_kmers: int, cfg: DBConfig) -> int:
     """Smallest power-of-two bucket count achieving <= target_load."""
     slots = 4 if cfg.layout in ("q4", "qs") else cfg.slots
@@ -414,6 +437,7 @@ def build_table(
         nb_bits = choose_nb_bits(n, cfg)
 
     for attempt in range(8):
+        check_q_bits(cfg.layout, nb_bits)
         if cfg.layout == "qs":
             db = None
             sb0 = choose_stash_bits(n, nb_bits)

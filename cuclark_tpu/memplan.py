@@ -24,18 +24,43 @@ from __future__ import annotations
 # reference's RESERVED = 300-400 MB per device (src/parameters.hh:45).
 RESERVED_MB = 512.0
 
-# When the runtime cannot report memory stats, assume the smallest HBM
-# of a current TPU generation (v5e: 16 GB) scaled back; CPU/unknown
-# platforms return None (host memory, no practical table limit).
-_PLATFORM_DEFAULT_MB = {"tpu": 16384.0}
+# When the runtime cannot report memory stats, fall back to the HBM of
+# the device's GENERATION (device_kind substring -> MB), not a single
+# worst-case number: a v5p without memory_stats must still plan a 4 GB
+# table resident rather than stream it 8 ways.  CPU/unknown platforms
+# return None (host memory, no practical table limit).
+_TPU_GENERATION_MB = (
+    # (device_kind substring, HBM MB per chip) — first match wins, so
+    # the "lite" variants must precede their full-size siblings.
+    ("v5 lite", 16384.0),    # v5e: 16 GB
+    ("v5e", 16384.0),
+    ("v5p", 95000.0),        # v5p: 95 GB
+    ("v5", 95000.0),
+    ("v6 lite", 32768.0),    # v6e (Trillium): 32 GB
+    ("v6e", 32768.0),
+    ("v4", 32768.0),         # v4: 32 GB
+    ("v3", 16384.0),
+    ("v2", 8192.0),
+)
+_TPU_FALLBACK_MB = 16384.0
+
+
+def _generation_default_mb(device) -> float:
+    kind = str(getattr(device, "device_kind", "")).lower()
+    for sub, mb in _TPU_GENERATION_MB:
+        if sub in kind:
+            return mb
+    return _TPU_FALLBACK_MB
 
 
 def device_memory_budget_mb(device=None) -> float | None:
     """Usable MB for the resident DB table on one device.
 
     None means "unbounded / unknown-host" (CPU): keep the table
-    resident.  TPU devices report bytes_limit/bytes_in_use via PJRT;
-    platforms that don't get a conservative generation default."""
+    resident.  TPU devices report memory stats via PJRT
+    (bytes_reservable_limit preferred over bytes_limit: it excludes
+    runtime-reserved regions); platforms that don't get their
+    generation's HBM size from device_kind."""
     import jax
 
     if device is None:
@@ -52,15 +77,12 @@ def device_memory_budget_mb(device=None) -> float | None:
     except Exception:
         stats = None
     if stats:
-        limit = stats.get("bytes_limit") or stats.get(
-            "bytes_reservable_limit")
+        limit = stats.get("bytes_reservable_limit") or stats.get(
+            "bytes_limit")
         in_use = stats.get("bytes_in_use", 0)
         if limit:
             return max((limit - in_use) / 1e6 - RESERVED_MB, 64.0)
-    default = _PLATFORM_DEFAULT_MB.get(platform)
-    if default is None:
-        return None
-    return max(default * 0.9 - RESERVED_MB, 64.0)
+    return max(_generation_default_mb(device) * 0.9 - RESERVED_MB, 64.0)
 
 
 def resolve_table_budget_mb(max_table_mb: float | None,

@@ -167,8 +167,7 @@ class Classifier:
 
     def __init__(self, db: KmerDB, cfg: ClassifyConfig | None = None,
                  len_bins=DEFAULT_LEN_BINS, mesh=None):
-        from cuclark_tpu.memplan import (plan_stream_parts,
-                                         resolve_table_budget_mb)
+        from cuclark_tpu.memplan import resolve_table_budget_mb
 
         self.db = db
         self.cfg = cfg or ClassifyConfig()
@@ -191,9 +190,7 @@ class Classifier:
             # composition (src/CuClarkDB.cu:813-858).
             num_db = mesh.shape["db"]
             main_np, stash_np = db.split_tables()
-            self.stream_parts = plan_stream_parts(
-                db.table.nbytes, self.table_budget_mb, num_db,
-                main_np.shape[0])
+            self.stream_parts = self._plan_parts(main_np, stash_np, num_db)
             if self.stream_parts > 1:
                 self.mesh = mesh
                 self.table = None
@@ -215,8 +212,7 @@ class Classifier:
         # power-of-two bucket-range parts per batch group.  qs split
         # mode streams MAIN rows only; the small stash stays resident.
         main_np, stash_np = db.split_tables()
-        self.stream_parts = plan_stream_parts(
-            db.table.nbytes, self.table_budget_mb, 1, main_np.shape[0])
+        self.stream_parts = self._plan_parts(main_np, stash_np, 1)
         if self.stream_parts > 1:
             self.table = None
             self.np_table = np.ascontiguousarray(main_np)
@@ -227,6 +223,22 @@ class Classifier:
             self.table = jnp.asarray(main_np)
             self.stash = (jnp.asarray(stash_np)
                           if stash_np is not None else None)
+
+    def _plan_parts(self, main_np, stash_np, num_db: int) -> int:
+        """Streaming-part plan honoring the REAL device footprint: in qs
+        split mode the stash stays resident on top of the streamed part
+        (plus its double buffer), so its bytes come off the budget and
+        only the main rows are planned against it."""
+        from cuclark_tpu.memplan import plan_stream_parts
+
+        budget = self.table_budget_mb
+        if budget is not None and stash_np is not None:
+            left = budget - stash_np.nbytes / num_db / 1e6
+            # stash alone past the stated budget: the plan is infeasible
+            # either way; keep the unadjusted budget (best effort)
+            budget = left if left > 0 else budget
+        return plan_stream_parts(main_np.nbytes, budget, num_db,
+                                 main_np.shape[0])
 
     def _bin_for(self, max_len: int) -> int:
         for b in self.len_bins:

@@ -87,6 +87,9 @@ def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
 
     Returns int32 labels [...]: stored 1-based target label, 0 on miss.
     """
+    from cuclark_tpu.hashdb import check_q_bits
+
+    check_q_bits(layout, nb_bits, stash_bits)  # int32 row-index guard
     if layout == "qs":
         if stash is not None or skip_stash:
             return _probe_qs_split(table, stash, nb_bits, stash_bits, seed,

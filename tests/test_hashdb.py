@@ -98,3 +98,45 @@ def test_verify_catches_corruption():
     db.table[(db.table[:, 4] & 0xFFFF) > 0] = 0
     with pytest.raises(AssertionError):
         db.verify(km, labels, sample=None)
+
+
+def test_q_bits_int32_guard():
+    """q4/qs row indices are int32 on device: nb_bits > 30 (or a stash
+    pushing NB+NBS past 2^31) must be rejected at build/probe time
+    instead of silently gathering wrong rows."""
+    from cuclark_tpu.hashdb import check_q_bits
+
+    check_q_bits("q4", 30)
+    check_q_bits("qs", 30, 22)
+    check_q_bits("s2", 40)  # s2 masks to nb_bits; no global-row indexing
+    with pytest.raises(ValueError):
+        check_q_bits("q4", 31)
+    with pytest.raises(ValueError):
+        check_q_bits("qs", 30, 30)  # NB + NBS == 2^31 overflows
+
+
+def test_probe_rejects_overflowing_bits():
+    import jax.numpy as jnp
+
+    from cuclark_tpu.probe import probe
+
+    t = jnp.zeros((8, 8), jnp.uint32)
+    z = jnp.zeros((4,), jnp.uint32)
+    with pytest.raises(ValueError):
+        probe(t, 31, 4, 2, z, z, layout="q4")
+
+
+def test_plan_parts_subtracts_resident_stash():
+    """qs split streaming: the resident stash (plus part double-buffer)
+    lives on top of the streamed part, so its bytes come off the
+    streaming budget (round-3 advisor finding)."""
+    from cuclark_tpu.pipeline import Classifier
+
+    clf = Classifier.__new__(Classifier)
+    main = np.zeros((6_250_000, 8), np.uint32)   # 200 MB
+    stash = np.zeros((1_250_000, 8), np.uint32)  # 40 MB resident
+    clf.table_budget_mb = 100.0
+    # without the stash: 200 MB / 2 parts = 100 MB fits the budget
+    assert clf._plan_parts(main, None, 1) == 2
+    # with a 40 MB resident stash only 60 MB remains: 4 parts needed
+    assert clf._plan_parts(main, stash, 1) == 4

@@ -14,8 +14,10 @@ from cuclark_tpu.memplan import (RESERVED_MB, device_memory_budget_mb,
 
 
 class FakeDev:
-    def __init__(self, platform="tpu", stats=None, raise_stats=False):
+    def __init__(self, platform="tpu", stats=None, raise_stats=False,
+                 device_kind="TPU v5 lite"):
         self.platform = platform
+        self.device_kind = device_kind
         self._stats = stats
         self._raise = raise_stats
 
@@ -32,10 +34,49 @@ def test_budget_from_memory_stats():
     assert got == pytest.approx((2e9 - 5e8) / 1e6 - RESERVED_MB)
 
 
+def test_budget_prefers_reservable_limit():
+    # bytes_reservable_limit excludes runtime-reserved regions and wins
+    # over the raw bytes_limit when both are reported
+    dev = FakeDev(stats={"bytes_limit": 2_000_000_000,
+                         "bytes_reservable_limit": 1_500_000_000,
+                         "bytes_in_use": 0})
+    got = device_memory_budget_mb(dev)
+    assert got == pytest.approx(1.5e9 / 1e6 - RESERVED_MB)
+
+
 def test_budget_platform_default_when_stats_unavailable():
     dev = FakeDev(raise_stats=True)
     got = device_memory_budget_mb(dev)
     assert got == pytest.approx(16384.0 * 0.9 - RESERVED_MB)
+
+
+@pytest.mark.parametrize("kind,hbm_mb", [
+    ("TPU v2", 8192.0),
+    ("TPU v3", 16384.0),
+    ("TPU v4", 32768.0),
+    ("TPU v5 lite", 16384.0),
+    ("TPU v5e", 16384.0),
+    ("TPU v5p", 95000.0),
+    ("TPU v5", 95000.0),
+    ("TPU v6 lite", 32768.0),
+    ("TPU v6e", 32768.0),
+    ("TPU vX future", 16384.0),  # unknown generation -> safe fallback
+])
+def test_budget_generation_defaults(kind, hbm_mb):
+    dev = FakeDev(raise_stats=True, device_kind=kind)
+    got = device_memory_budget_mb(dev)
+    assert got == pytest.approx(hbm_mb * 0.9 - RESERVED_MB)
+
+
+def test_v5p_without_stats_keeps_4gb_table_resident():
+    """A v5p whose runtime reports no memory stats must plan a 4 GB
+    table RESIDENT (95 GB HBM), not stream it 8 ways as the old single
+    16 GB fallback would at tighter margins."""
+    dev = FakeDev(raise_stats=True, device_kind="TPU v5p")
+    budget = device_memory_budget_mb(dev)
+    table_bytes = 4 * 10 ** 9
+    assert plan_stream_parts(table_bytes, budget, 1, 1 << 27) == 1
+    assert plan_db_axis(table_bytes, budget, 8) == 1
 
 
 def test_budget_cpu_is_unbounded():
