@@ -208,7 +208,14 @@ def _classify_multiprocess(args, db, cfg) -> int:
     from cuclark_tpu.memplan import plan_db_axis, resolve_table_budget_mb
 
     budget_mb = resolve_table_budget_mb(args.max_table_mb)
-    num_db = plan_db_axis(db.table.nbytes, budget_mb, jax.device_count())
+    # db axis capped at the PER-PROCESS device count: it keeps the
+    # psum on ICI (make_global_mesh requirement) and leaves the data
+    # axis divisible by the process count; if the per-device shard
+    # still exceeds the budget, multihost.classify_file_to_csv streams
+    # bucket-range parts on top (cycles x devices x parts,
+    # src/CuClarkDB.cu:540-574).
+    num_db = plan_db_axis(db.table.nbytes, budget_mb,
+                          jax.local_device_count())
     mesh = make_global_mesh(num_db)
     print(f" - Global mesh: {mesh.shape['data']} data x "
           f"{mesh.shape['db']} db over {nproc} process(es)",

@@ -150,38 +150,69 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
          fused 2-bit wire format (jax.make_array_from_process_local_
          data), keeps a few batches in flight with async D2H of its
          addressable result shards, and writes only its own rows to
-         out_path (suffixed .h<rank> when multi-process).
+         out_path (suffixed .h<rank> when multi-process) through the
+         native OpenMP CSV formatter + a dedicated writer thread — the
+         same machinery as the single-host fast path (pipeline.CsvSink;
+         reference overlapped result writing,
+         src/CuCLARK_hh.hh:1755-1761).
+
+    When even the per-device resident shard would exceed the memory
+    budget, bucket-range parts stream host->mesh per batch group (the
+    reference's cycles x devices x parts composition,
+    src/CuClarkDB.cu:540-574, 813-858) — every process holds the table
+    host-side and materializes its shard of each streamed part.
 
     Single-process this degenerates to the plain mesh path and is
     CPU-testable end to end.  Returns rows written by THIS process."""
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     import jax
 
-    from cuclark_tpu import codec
+    from cuclark_tpu import codec, native
     from cuclark_tpu.io import fast_parse
     from cuclark_tpu.io.csv_out import HEADER_TAIL, format_row
+    from cuclark_tpu.memplan import resolve_table_budget_mb
     from cuclark_tpu.parallel.mesh import ShardedClassifier, make_global_mesh
-    from cuclark_tpu.pipeline import Classifier
+    from cuclark_tpu.pipeline import (Classifier, CsvSink, DEFAULT_LEN_BINS,
+                                      _read_file_bytes)
 
     nproc = jax.process_count()
     pid = jax.process_index()
     if mesh is None:
         mesh = make_global_mesh(num_db)
-    sc = ShardedClassifier(db, mesh, with_labels=cfg.extended,
-                           multihost=True)
     rows_global = mesh.shape["data"]
     if rows_global % nproc:
         raise ValueError(f"data axis {rows_global} not divisible by "
                          f"{nproc} processes")
 
-    # A bare Classifier shell reuses the scan/bin/emit helpers without
-    # placing the table on a device (the mesh already holds it).
-    from cuclark_tpu.pipeline import DEFAULT_LEN_BINS, _read_file_bytes
-
+    # A bare Classifier shell reuses the scan/bin/emit helpers (and, in
+    # streaming mode, the part-streaming engine) without placing the
+    # table on a device up front.
     clf = Classifier.__new__(Classifier)
     clf.db, clf.cfg = db, cfg
     clf.len_bins = tuple(sorted(DEFAULT_LEN_BINS))
+    clf.mesh = mesh
+    clf._sharded = None
+    clf.table_budget_mb = resolve_table_budget_mb(cfg.max_table_mb)
+    main_np, stash_np = db.split_tables()
+    clf.stream_parts = clf._plan_parts(main_np, stash_np,
+                                       mesh.shape["db"])
+    sc = None
+    if clf.stream_parts > 1:
+        # mesh + streaming composition: resident per-device shards would
+        # exceed the budget, so main bucket-range parts stream
+        # host->mesh per batch group (reference swap cycles,
+        # src/CuClarkDB.cu:813-858)
+        clf.np_table = np.ascontiguousarray(main_np)
+        clf.np_stash = (np.ascontiguousarray(stash_np)
+                        if stash_np is not None else None)
+        clf._stash_part = None
+        clf._mesh_part_step = None
+        clf._mesh_part_step_stash = None
+    else:
+        sc = ShardedClassifier(db, mesh, with_labels=cfg.extended,
+                               multihost=True)
     paired = paired_path is not None
 
     # 1.+2. this process's record block (absolute offsets into buf)
@@ -214,70 +245,115 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
     B_local -= B_local % (rows_global // nproc) or 0
     n_batches = max(1, -(-max_block // B_local))
 
+    use_native = native.available()
     written = 0
     out_p = f"{out_path}.h{pid:03d}" if nproc > 1 else out_path
-    with open(out_p, "w") as f:
+    with open(out_p, "wb") as f:
+        sink = CsvSink(f, db, cfg.extended, paired) if use_native else None
         if pid == 0:
             # shard files concatenate in rank order to one valid CSV
-            cols = ["Object_ID"]
-            if cfg.extended:
-                cols += db.target_names[1:]
-            cols += HEADER_TAIL
-            f.write(",".join(cols) + "\n")
+            if use_native:
+                sink.write_header()
+            else:
+                cols = ["Object_ID"]
+                if cfg.extended:
+                    cols += db.target_names[1:]
+                cols += HEADER_TAIL
+                f.write((",".join(cols) + "\n").encode())
 
         def flush(item):
             nonlocal written
-            results_dev, labels_dev, names, lengths, cnt = item
+            results_dev, labels_dev, ns, ne, lengths, cnt = item
             results = ShardedClassifier.local_rows(results_dev, cnt)
             labels_np = (ShardedClassifier.local_rows(labels_dev, cnt)
                          if labels_dev is not None else None)
-            for row in clf._emit_np(results, labels_np, names,
-                                    lengths, cnt, paired):
-                f.write(format_row(row, db.target_names, cfg.extended))
-                written += 1
-
-        inflight = deque()
-        W2, WV = L // 4, L // 8
-        for b in range(n_batches):
-            blo = min(b * B_local, n_local)
-            bhi = min(blo + B_local, n_local)
-            cnt = bhi - blo
-            if cnt and paired:
-                codes, lengths = fast_parse.pack_block_dispatch(
-                    buf, seq_s[blo:bhi], seq_e[blo:bhi], L, n_rows=cnt)
-                from cuclark_tpu.pipeline import _merge_paired
-
-                codes, lengths = _merge_paired(
-                    codes, lengths, buf2, seq_s2[blo:bhi],
-                    seq_e2[blo:bhi], L)
-                if cnt < B_local:  # lockstep: pad the ragged final batch
-                    codes = np.pad(codes, ((0, B_local - cnt), (0, 0)),
-                                   constant_values=codec.INVALID)
-                    lengths = np.pad(lengths, (0, B_local - cnt))
-                p2, vb = codec.pack_codes(codes)
-            elif cnt:
-                # fused scan->wire packing (no [R, L] byte matrix)
-                p2, vb, lengths = fast_parse.pack_block2_dispatch(
-                    buf, seq_s[blo:bhi], seq_e[blo:bhi], L,
-                    n_rows=B_local)
+            if use_native:
+                sink.flush(results, labels_np, buf, ns, ne, lengths, cnt)
+                written = sink.total_rows
             else:
-                p2 = np.zeros((B_local, W2), np.uint8)
-                vb = np.zeros((B_local, WV), np.uint8)
-                lengths = np.zeros(B_local, np.int64)
-            names = (fast_parse.names_of(buf, name_s[blo:bhi],
-                                         name_e[blo:bhi]) if cnt else [])
-            results_dev, labels_dev = sc.step_packed(p2, vb)
-            for arr in (results_dev, labels_dev):
-                if arr is None:
-                    continue
-                try:  # async D2H of this process's shards
-                    for s in arr.addressable_shards:
-                        s.data.copy_to_host_async()
-                except (AttributeError, RuntimeError):
-                    pass
-            inflight.append((results_dev, labels_dev, names, lengths, cnt))
-            if len(inflight) > 2:
-                flush(inflight.popleft())
-        while inflight:
-            flush(inflight.popleft())
+                names = fast_parse.names_of(buf, ns, ne)
+                for row in clf._emit_np(results, labels_np, names,
+                                        lengths, cnt, paired):
+                    f.write(format_row(row, db.target_names,
+                                       cfg.extended).encode())
+                    written += 1
+
+        def batches():
+            """Lockstep local wire batches: ((p2, vb), ns, ne, lengths,
+            cnt) — empty ranks still emit all-padding batches."""
+            W2, WV = L // 4, L // 8
+            for b in range(n_batches):
+                blo = min(b * B_local, n_local)
+                bhi = min(blo + B_local, n_local)
+                cnt = bhi - blo
+                if cnt and paired:
+                    codes, lengths = fast_parse.pack_block_dispatch(
+                        buf, seq_s[blo:bhi], seq_e[blo:bhi], L, n_rows=cnt)
+                    from cuclark_tpu.pipeline import _merge_paired
+
+                    codes, lengths = _merge_paired(
+                        codes, lengths, buf2, seq_s2[blo:bhi],
+                        seq_e2[blo:bhi], L)
+                    if cnt < B_local:  # lockstep: pad ragged final batch
+                        codes = np.pad(codes, ((0, B_local - cnt), (0, 0)),
+                                       constant_values=codec.INVALID)
+                        lengths = np.pad(lengths, (0, B_local - cnt))
+                    p2, vb = codec.pack_codes(codes)
+                elif cnt:
+                    # fused scan->wire packing (no [R, L] byte matrix)
+                    p2, vb, lengths = fast_parse.pack_block2_dispatch(
+                        buf, seq_s[blo:bhi], seq_e[blo:bhi], L,
+                        n_rows=B_local)
+                else:
+                    p2 = np.zeros((B_local, W2), np.uint8)
+                    vb = np.zeros((B_local, WV), np.uint8)
+                    lengths = np.zeros(B_local, np.int64)
+                yield ((p2, vb), name_s[blo:bhi], name_e[blo:bhi],
+                       lengths, cnt)
+
+        # The writer thread drains flushes in submission order while the
+        # main thread keeps dispatching (single-host parity; numpy/
+        # native formatting release the GIL so the overlap is real).
+        with ThreadPoolExecutor(1) as writer:
+            futs = deque()
+
+            def submit(item):
+                futs.append(writer.submit(flush, item))
+                while len(futs) > 3:
+                    futs.popleft().result()
+
+            if clf.stream_parts > 1:
+                group = []
+                for wire, ns, ne, lengths, cnt in batches():
+                    group.append((wire, ns, ne, lengths, cnt))
+                    if len(group) >= cfg.stream_group:
+                        outs = clf._stream_group_dev(
+                            [w for w, _, _, _, _ in group])
+                        for (_, ns_g, ne_g, len_g, cnt_g), (r, lab) in zip(
+                                group, outs):
+                            submit((r, lab, ns_g, ne_g, len_g, cnt_g))
+                        group = []
+                if group:
+                    outs = clf._stream_group_dev(
+                        [w for w, _, _, _, _ in group])
+                    for (_, ns_g, ne_g, len_g, cnt_g), (r, lab) in zip(
+                            group, outs):
+                        submit((r, lab, ns_g, ne_g, len_g, cnt_g))
+            else:
+                inflight = deque()
+                for (p2, vb), ns, ne, lengths, cnt in batches():
+                    results_dev, labels_dev = sc.step_packed(p2, vb)
+                    from cuclark_tpu.pipeline import _shard_prefetch
+
+                    _shard_prefetch(results_dev, labels_dev)
+                    inflight.append((results_dev, labels_dev, ns, ne,
+                                     lengths, cnt))
+                    if len(inflight) > 3:
+                        submit(inflight.popleft())
+                while inflight:
+                    submit(inflight.popleft())
+            while futs:
+                futs.popleft().result()
+    if pid == 0 and use_native:
+        sink.print_hit_stats()
     return written

@@ -138,6 +138,89 @@ def _host_prefetch(*arrs):
                 return
 
 
+class CsvSink:
+    """CLARK-CSV output sink shared by the single-host and global-mesh
+    writers: native OpenMP row formatting (csrc/host_ops.cpp
+    format_rows/format_rows_ext), extended-mode hit-stat accumulation,
+    and the reference header (src/CuCLARK_hh.hh:1956-1972).  The file
+    handle must be opened in binary mode; call flush() from a single
+    (writer) thread so rows stay ordered."""
+
+    def __init__(self, f, db, extended: bool, paired: bool):
+        from cuclark_tpu import native
+
+        self.f = f
+        self.db = db
+        self.extended = extended
+        self.paired = paired
+        self.tname_bytes, self.tname_off = native.pack_target_names(
+            db.target_names)
+        self.total_rows = 0
+        self.hstats = [None, 0, 0]  # min, max, sum of distinct hit targets
+
+    def write_header(self) -> None:
+        from cuclark_tpu.io.csv_out import HEADER_TAIL
+
+        cols = ["Object_ID"]
+        if self.extended:
+            cols += self.db.target_names[1:]
+        cols += HEADER_TAIL
+        self.f.write((",".join(cols) + "\n").encode())
+
+    def flush(self, results, labels_np, buf, ns, ne, lengths, cnt) -> None:
+        """Format + write one batch: results [R,5] np, labels_np [R,P]
+        np or None, read names as (buf, ns, ne) byte offsets."""
+        from cuclark_tpu import native
+
+        results = results[:cnt]
+        lengths = lengths[:cnt]
+        total, ibest, best, isecond, second = (
+            results[:, i] for i in range(5))
+        norm, gamma, conf = score.gamma_confidence(
+            total, best, second, lengths, self.db.k, self.paired)
+        if self.extended:
+            counts = dense_counts(labels_np[:cnt],
+                                  self.db.num_targets)[:, 1:]
+            distinct = (counts > 0).sum(axis=1)
+            if cnt:
+                lo = int(distinct.min())
+                self.hstats[0] = (lo if self.hstats[0] is None
+                                  else min(self.hstats[0], lo))
+                self.hstats[1] = max(self.hstats[1], int(distinct.max()))
+                self.hstats[2] += int(distinct.sum())
+            self.f.write(native.format_rows_ext(
+                counts, norm, gamma, ibest, best, isecond, second, conf,
+                buf, ns[:cnt], ne[:cnt], self.tname_bytes, self.tname_off))
+        else:
+            self.f.write(native.format_rows(
+                norm, gamma, ibest, best, isecond, second, conf,
+                buf, ns[:cnt], ne[:cnt], self.tname_bytes, self.tname_off))
+        self.total_rows += cnt
+
+    def print_hit_stats(self) -> None:
+        """Reference extended-mode hit stats (CuCLARK_hh.hh:2075-2080)."""
+        if self.extended and self.total_rows:
+            import sys
+
+            print(f"MIN targets: {self.hstats[0] or 0}, MAX targets: "
+                  f"{self.hstats[1]}, AVG targets: "
+                  f"{self.hstats[2] / self.total_rows:g}", file=sys.stderr)
+
+
+def _shard_prefetch(*arrs):
+    """Async D2H of each ADDRESSABLE shard — for results that are read
+    back per shard (ShardedClassifier.local_rows), including global
+    multi-process arrays that _host_prefetch must skip."""
+    for a in arrs:
+        if a is None:
+            continue
+        try:
+            for s in a.addressable_shards:
+                s.data.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            return
+
+
 @dataclass
 class ReadBatch:
     """Host-side packed batch."""
@@ -450,7 +533,7 @@ class Classifier:
         per-row dict path when the native module or the resident-table
         mode is unavailable.  Returns the number of reads written."""
         from cuclark_tpu import native
-        from cuclark_tpu.io.csv_out import HEADER_TAIL, write_results
+        from cuclark_tpu.io.csv_out import write_results
 
         if not native.available():
             rows = self.classify_file(path, paired_path, skip=skip,
@@ -494,46 +577,16 @@ class Classifier:
             path, paired_path, skip, num_hosts, host_id)
         paired = buf2 is not None
         extended = self.cfg.extended
-        tname_bytes, tname_off = native.pack_target_names(self.db.target_names)
-        total_rows = 0
-        hstats = [None, 0, 0]  # min, max, sum of distinct hit targets
 
         with open(out_path, "ab" if append else "wb") as f:
+            sink = CsvSink(f, self.db, extended, paired)
             if not append:
-                cols = ["Object_ID"]
-                if extended:
-                    cols += self.db.target_names[1:]
-                cols += HEADER_TAIL
-                f.write((",".join(cols) + "\n").encode())
+                sink.write_header()
 
             def flush_one(out, ns, ne, lengths, cnt):
-                nonlocal total_rows
-                results = np.asarray(out[0])[:cnt]
-                lengths = lengths[:cnt]
-                total, ibest, best, isecond, second = (
-                    results[:, i] for i in range(5))
-                norm, gamma, conf = score.gamma_confidence(
-                    total, best, second, lengths, self.db.k, paired)
-                if extended:
-                    counts = dense_counts(np.asarray(out[1])[:cnt],
-                                          self.db.num_targets)[:, 1:]
-                    distinct = (counts > 0).sum(axis=1)
-                    if cnt:
-                        lo = int(distinct.min())
-                        hstats[0] = (lo if hstats[0] is None
-                                     else min(hstats[0], lo))
-                        hstats[1] = max(hstats[1], int(distinct.max()))
-                        hstats[2] += int(distinct.sum())
-                    f.write(native.format_rows_ext(
-                        counts, norm[:cnt], gamma[:cnt], ibest[:cnt],
-                        best[:cnt], isecond[:cnt], second[:cnt], conf[:cnt],
-                        buf, ns[:cnt], ne[:cnt], tname_bytes, tname_off))
-                else:
-                    f.write(native.format_rows(
-                        norm[:cnt], gamma[:cnt], ibest[:cnt], best[:cnt],
-                        isecond[:cnt], second[:cnt], conf[:cnt],
-                        buf, ns[:cnt], ne[:cnt], tname_bytes, tname_off))
-                total_rows += cnt
+                labels_np = (np.asarray(out[1]) if extended else None)
+                sink.flush(np.asarray(out[0]), labels_np, buf, ns, ne,
+                           lengths, cnt)
 
             def put_batches():
                 for wire, nsne, lengths, cnt in self._packed_batches(
@@ -582,45 +635,54 @@ class Classifier:
                             futs.popleft().result()
                 while futs:
                     futs.popleft().result()
-        if extended and total_rows:
-            # reference extended-mode hit stats (CuCLARK_hh.hh:2075-2080)
-            import sys
-
-            print(f"MIN targets: {hstats[0] or 0}, MAX targets: "
-                  f"{hstats[1]}, AVG targets: {hstats[2] / total_rows:g}",
-                  file=sys.stderr)
-        return total_rows
+        sink.print_hit_stats()
+        return sink.total_rows
 
     def _stream_group(self, wires):
+        """_stream_group_dev with blocking host readback (single-host
+        callers)."""
+        return [(np.asarray(r), np.asarray(l) if l is not None else None)
+                for r, l in self._stream_group_dev(wires)]
+
+    def _stream_group_dev(self, wires):
         """Stream DB parts over a group of packed batches (the reference
         multi-cycle path: swap part, re-query every batch,
         src/CuCLARK_hh.hh:1766-1774) and merge partial labels by sum.
         With a mesh, each part is additionally row-sharded over the 'db'
-        axis and batches over 'data' (cycles x devices x parts).
+        axis and batches over 'data' (cycles x devices x parts); in
+        multi-process runs each process feeds its local batch rows and
+        its shard of every part (the lockstep protocol of
+        parallel.multihost governs batch counts).
 
         Partial labels accumulate ON DEVICE (one readback per batch at
         group end, not one per part x batch) and part p+1's H2D upload
         is dispatched while part p computes — the async-swap overlap of
         the reference (src/CuClarkDB.cu:813-858).  Returns a list of
-        (results np [R,5], labels np [R,P] or None) per batch."""
+        (results, labels-or-None) DEVICE arrays per batch with async D2H
+        copies already started on the addressable shards."""
         db = self.db
         P = self.stream_parts
         rows = self.np_table.shape[0] // P
         on_mesh = self.mesh is not None
         split = self.np_stash is not None
+        nproc = jax.process_count()
 
         def pack_dev(wire):
             p2, vb = wire
             if not on_mesh:
                 return jnp.asarray(p2), jnp.asarray(vb)
-            nd = self.mesh.shape["data"]
-            if p2.shape[0] % nd:
-                pad = nd - p2.shape[0] % nd
+            # local rows must divide this process's slice of 'data'
+            nd_local = max(1, self.mesh.shape["data"] // nproc)
+            if p2.shape[0] % nd_local:
+                pad = nd_local - p2.shape[0] % nd_local
                 p2 = np.pad(p2, ((0, pad), (0, 0)))
                 vb = np.pad(vb, ((0, pad), (0, 0)))
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
             sh = NamedSharding(self.mesh, Pspec("data", None))
+            if nproc > 1:
+                return (jax.make_array_from_process_local_data(sh, p2),
+                        jax.make_array_from_process_local_data(sh, vb))
             return jax.device_put(p2, sh), jax.device_put(vb, sh)
 
         # transfer each batch once; only DB parts restream per cycle
@@ -646,17 +708,23 @@ class Classifier:
                         stash_bits=db.stash_bits, with_stash=True)
             part_sh = NamedSharding(self.mesh, Pspec("db", None))
 
+        def put_rows(arr_np):
+            """Row-shard a host array over 'db' (multi-process: every
+            process holds the full array, materializes its shards)."""
+            if not on_mesh:
+                return jnp.asarray(arr_np)
+            if nproc > 1:
+                return jax.make_array_from_callback(
+                    arr_np.shape, part_sh, lambda idx: arr_np[idx])
+            return jax.device_put(arr_np, part_sh)
+
         def upload(p):
-            part_np = self.np_table[p * rows:(p + 1) * rows]
-            if on_mesh:
-                return jax.device_put(part_np, part_sh)
-            return jnp.asarray(part_np)
+            return put_rows(self.np_table[p * rows:(p + 1) * rows])
 
         if split and self._stash_part is None:
             # qs split mode: the small stash stays device-resident across
             # all parts/groups and is probed on part 0's call only
-            self._stash_part = (jax.device_put(self.np_stash, part_sh)
-                                if on_mesh else jnp.asarray(self.np_stash))
+            self._stash_part = put_rows(self.np_stash)
 
         acc = [None] * len(dev)
         nxt = upload(0)
@@ -689,10 +757,9 @@ class Classifier:
             r = score_step(a)
             lab_dev = a if self.cfg.extended else None
             _host_prefetch(r, lab_dev)
+            _shard_prefetch(r, lab_dev)
             outs.append((r, lab_dev))
-        return [(np.asarray(r),
-                 np.asarray(l) if l is not None else None)
-                for r, l in outs]
+        return outs
 
     def _classify_group_streaming(self, group, paired: bool):
         """Dict-row wrapper over _stream_group for the iterator paths."""

@@ -296,3 +296,107 @@ def test_two_process_distributed_paired(tmp_path):
     merged = ((tmp_path / "mp.csv.h000").read_bytes()
               + (tmp_path / "mp.csv.h001").read_bytes())
     assert merged == (tmp_path / "plain.csv").read_bytes()
+
+
+def test_global_mesh_streaming_matches_plain(tmp_path):
+    """A tiny max_table_mb budget on the global-mesh path composes
+    host-streamed bucket-range parts with the db-axis mesh (reference
+    cycles x devices x parts, src/CuClarkDB.cu:540-574) and must stay
+    byte-identical with the plain resident path."""
+    import random
+
+    import jax
+
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+    from cuclark_tpu.parallel import multihost
+    from cuclark_tpu.parallel.mesh import make_global_mesh
+    from cuclark_tpu.pipeline import Classifier
+
+    rng = random.Random(88)
+    g = "".join(rng.choice("ACGT") for _ in range(3000))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    db = build_db([(str(tmp_path / "g.fa"), "T1")], DBConfig(k=21))
+    reads = [(f"r{i}", g[(p := rng.randrange(0, 2800)): p + 110])
+             for i in range(27)]
+    fq = tmp_path / "r.fq"
+    fq.write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+
+    want = tmp_path / "want.csv"
+    Classifier(db, ClassifyConfig(batch_reads=8)).classify_file_to_csv(
+        fq, want)
+
+    tiny = db.table.nbytes / 2 / 4 / 1e6  # per-device shard / 2
+    cfg = ClassifyConfig(batch_reads=8, stream_group=2, max_table_mb=tiny)
+    mesh = make_global_mesh(2, devices=jax.devices()[:8])
+    got = tmp_path / "got.csv"
+    n = multihost.classify_file_to_csv(db, cfg, fq, got, num_db=2,
+                                       mesh=mesh)
+    assert n == 27
+    assert got.read_bytes() == want.read_bytes()
+
+
+def test_two_process_streaming_tiny_budget(tmp_path):
+    """2-process --coordinator run under a tiny --max-table-mb: the
+    multi-process path must fall back to mesh+streaming (not OOM or
+    refuse) and shards must still concatenate byte-identically."""
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys
+
+    from cuclark_tpu.cli import main
+
+    rng = random.Random(23)
+    g = "".join(rng.choice("ACGT") for _ in range(2500))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/g.fa T1\n")
+    reads = []
+    for i in range(29):
+        pos = rng.randrange(0, 2300)
+        reads.append((f"r{i}", g[pos: pos + 100]))
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    main(["classify", "-D", str(tmp_path / "db"),
+          "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "plain.csv")])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    driver = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from cuclark_tpu.cli import main; "
+        "raise SystemExit(main(sys.argv[1:]))"
+    )
+    out_csv = tmp_path / "mp.csv"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", driver,
+         "classify", "-D", str(tmp_path / "db"),
+         "-O", str(tmp_path / "r.fq"), "-R", str(out_csv),
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", "2", "--process-id", str(rank),
+         "-b", "16", "--max-table-mb", "1"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for rank in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, err.decode(errors="replace")[-2000:]
+    merged = ((tmp_path / "mp.csv.h000").read_bytes()
+              + (tmp_path / "mp.csv.h001").read_bytes())
+    assert merged == (tmp_path / "plain.csv").read_bytes()
