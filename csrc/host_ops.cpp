@@ -148,6 +148,49 @@ void pack_block2(const uint8_t* buf,
     }
 }
 
+// Fused paired-end wire packing: mate 1, ONE joining invalid position
+// (the 'N' of the reference's mergePairedFiles, src/file.cc:205-268),
+// then mate 2 — straight into the 2-bit wire format, replacing the
+// pack + numpy shift-merge + re-pack detour.  Same layout rules as
+// pack_block2; lengths receive len1 + 1 + len2 (true char counts).
+void pack_block2_paired(const uint8_t* buf1,
+                        const int64_t* s1, const int64_t* e1,
+                        const uint8_t* buf2,
+                        const int64_t* s2, const int64_t* e2,
+                        int64_t nrec, uint8_t* packed2, uint8_t* vbits,
+                        int64_t Lp, int64_t* lengths) {
+    init_lut();
+    const int64_t W2 = Lp / 4, WV = Lp / 8;
+#pragma omp parallel for schedule(static) if (nrec >= 256)
+    for (int64_t r = 0; r < nrec; r++) {
+        uint8_t* p2 = packed2 + r * W2;
+        uint8_t* vb = vbits + r * WV;
+        memset(p2, 0, W2);
+        memset(vb, 0, WV);
+        int64_t w = 0, len = 0;
+        for (int pass = 0; pass < 2; pass++) {
+            const uint8_t* buf = pass ? buf2 : buf1;
+            const int64_t lo = pass ? s2[r] : s1[r];
+            const int64_t hi = pass ? e2[r] : e1[r];
+            for (int64_t i = lo; i < hi; i++) {
+                uint8_t ch = buf[i];
+                if (ch == '\n' || ch == '\r') continue;
+                if (w < Lp) {
+                    uint8_t c = LUT[ch];
+                    if (c != 4) {
+                        p2[w >> 2] |= (uint8_t)(c << ((w & 3) * 2));
+                        vb[w >> 3] |= (uint8_t)(1u << (w & 7));
+                    }
+                }
+                w++;
+                len++;
+            }
+            if (pass == 0) { w++; len++; }  // joining 'N' (invalid)
+        }
+        lengths[r] = len;
+    }
+}
+
 // Rolling canonical k-mer extraction over one sequence (bytes may
 // include newlines, skipped).  Non-ACGT resets the window (part
 // semantics).  Every overlapping k-mer — the full-mode build walk

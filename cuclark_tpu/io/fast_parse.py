@@ -214,3 +214,39 @@ def pack_block2_dispatch(buf, seq_s, seq_e, max_len, n_rows=None):
     codes, lengths = pack_block(buf, seq_s, seq_e, max_len, n_rows)
     packed2, vbits = codec.pack_codes(codes)
     return packed2, vbits, lengths
+
+
+def pack_block2_paired_dispatch(buf1, s1, e1, buf2, s2, e2, max_len,
+                                n_rows=None):
+    """Paired-end mates -> one wire-format row per pair: mate1, a
+    joining invalid position (the 'N' of the reference mergePairedFiles,
+    src/file.cc:205-268), mate2.  One fused native sweep when
+    available; the numpy fallback (pack + shift-merge + re-pack) is
+    bit-identical.  lengths = len1 + 1 + len2 (true char counts)."""
+    from cuclark_tpu import native
+
+    if native.available():
+        return native.pack_block2_paired(buf1, s1, e1, buf2, s2, e2,
+                                         max_len, n_rows)
+    codes1, len1 = pack_block(buf1, s1, e1, max_len, n_rows)
+    codes, lengths = merge_paired_codes(codes1, len1, buf2, s2, e2,
+                                        codes1.shape[1])
+    lengths[len(s1):] = 0  # padding rows carry no joining 'N'
+    packed2, vbits = codec.pack_codes(codes)
+    return packed2, vbits, lengths
+
+
+def merge_paired_codes(codes1, len1, buf2, s2, e2, width):
+    """Append mate-2 codes after a joining INVALID (numpy fallback of
+    the fused paired packer; mergePairedFiles parity)."""
+    codes2, len2 = pack_block(buf2, s2, e2, width, n_rows=codes1.shape[0])
+    L = width
+    out = codes1.copy()
+    # place mate 2 at offset len1 + 1 per row (vectorized shift-gather)
+    col = np.arange(L)[None, :]
+    src_col = col - (len1[:, None] + 1)
+    take = np.clip(src_col, 0, L - 1)
+    shifted = np.take_along_axis(codes2, take, axis=1)
+    use = (src_col >= 0) & (src_col < len2[:, None])
+    out = np.where(use, shifted, out).astype(np.uint8)
+    return out, len1 + len2 + 1

@@ -55,6 +55,10 @@ def _build() -> ctypes.CDLL | None:
     lib.pack_block2.restype = None
     lib.pack_block2.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P,
                                 _U8P, ctypes.c_int64, _I64P]
+    lib.pack_block2_paired.restype = None
+    lib.pack_block2_paired.argtypes = [
+        _U8P, _I64P, _I64P, _U8P, _I64P, _I64P, ctypes.c_int64,
+        _U8P, _U8P, ctypes.c_int64, _I64P]
     lib.extract_canonical.restype = ctypes.c_int64
     lib.extract_canonical.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int32,
                                       _U64P]
@@ -184,6 +188,32 @@ def pack_block2(buf: np.ndarray, seq_s, seq_e, max_len: int,
             np.ascontiguousarray(buf),
             np.ascontiguousarray(seq_s, np.int64),
             np.ascontiguousarray(seq_e, np.int64),
+            nrec, packed2, vbits, Lp, lengths,
+        )
+    return packed2, vbits, lengths
+
+
+def pack_block2_paired(buf1: np.ndarray, s1, e1, buf2: np.ndarray, s2, e2,
+                       max_len: int, n_rows: int | None = None):
+    """Fused paired-end wire packing: mate1 + joining invalid + mate2
+    straight into (packed2, vbits, lengths) — the native replacement
+    for the pack + numpy shift-merge + re-pack detour (reference
+    mergePairedFiles parity, src/file.cc:205-268)."""
+    lib = _lib()
+    nrec = len(s1)
+    R = n_rows if n_rows is not None else nrec
+    Lp = -(-max_len // 8) * 8
+    packed2 = np.zeros((R, Lp // 4), np.uint8)
+    vbits = np.zeros((R, Lp // 8), np.uint8)
+    lengths = np.zeros(R, np.int64)
+    if nrec:
+        lib.pack_block2_paired(
+            np.ascontiguousarray(buf1),
+            np.ascontiguousarray(s1, np.int64),
+            np.ascontiguousarray(e1, np.int64),
+            np.ascontiguousarray(buf2),
+            np.ascontiguousarray(s2, np.int64),
+            np.ascontiguousarray(e2, np.int64),
             nrec, packed2, vbits, Lp, lengths,
         )
     return packed2, vbits, lengths

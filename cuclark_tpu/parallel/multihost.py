@@ -169,7 +169,7 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
 
     import jax
 
-    from cuclark_tpu import codec, native
+    from cuclark_tpu import native
     from cuclark_tpu.io import fast_parse
     from cuclark_tpu.io.csv_out import HEADER_TAIL, format_row
     from cuclark_tpu.memplan import resolve_table_budget_mb
@@ -287,18 +287,12 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
                 bhi = min(blo + B_local, n_local)
                 cnt = bhi - blo
                 if cnt and paired:
-                    codes, lengths = fast_parse.pack_block_dispatch(
-                        buf, seq_s[blo:bhi], seq_e[blo:bhi], L, n_rows=cnt)
-                    from cuclark_tpu.pipeline import _merge_paired
-
-                    codes, lengths = _merge_paired(
-                        codes, lengths, buf2, seq_s2[blo:bhi],
-                        seq_e2[blo:bhi], L)
-                    if cnt < B_local:  # lockstep: pad ragged final batch
-                        codes = np.pad(codes, ((0, B_local - cnt), (0, 0)),
-                                       constant_values=codec.INVALID)
-                        lengths = np.pad(lengths, (0, B_local - cnt))
-                    p2, vb = codec.pack_codes(codes)
+                    # fused mate1+N+mate2 wire packing; n_rows=B_local
+                    # pads the ragged final batch for lockstep
+                    p2, vb, lengths = fast_parse.pack_block2_paired_dispatch(
+                        buf, seq_s[blo:bhi], seq_e[blo:bhi],
+                        buf2, seq_s2[blo:bhi], seq_e2[blo:bhi], L,
+                        n_rows=B_local)
                 elif cnt:
                     # fused scan->wire packing (no [R, L] byte matrix)
                     p2, vb, lengths = fast_parse.pack_block2_dispatch(

@@ -465,12 +465,12 @@ class Classifier:
                 None if buf2 is None else seq_s2[lo:hi],
                 None if buf2 is None else seq_e2[lo:hi])
             if paired:
-                codes1, len1 = fast_parse.pack_block_dispatch(
-                    buf, seq_s[lo:hi], seq_e[lo:hi], L, n_rows=cnt)
-                codes, lengths = _merge_paired(
-                    codes1, len1, buf2, seq_s2[lo:hi], seq_e2[lo:hi],
-                    codes1.shape[1])
-                wire = codec.pack_codes(codes)
+                # fused mate1+N+mate2 wire packing (native when built;
+                # replaces the pack + shift-merge + re-pack detour)
+                p2, vb, lengths = fast_parse.pack_block2_paired_dispatch(
+                    buf, seq_s[lo:hi], seq_e[lo:hi],
+                    buf2, seq_s2[lo:hi], seq_e2[lo:hi], L, n_rows=cnt)
+                wire = (p2, vb)
             else:
                 p2, vb, lengths = fast_parse.pack_block2_dispatch(
                     buf, seq_s[lo:hi], seq_e[lo:hi], L, n_rows=cnt)
@@ -932,22 +932,3 @@ def _read_file_bytes(path) -> np.ndarray:
     with _open(path) as f:
         data = f.read()
     return np.frombuffer(data, dtype=np.uint8)
-
-
-def _merge_paired(codes1, len1, buf2, s2, e2, width):
-    """Append mate-2 codes after a joining INVALID (the 'N' of
-    mergePairedFiles, src/file.cc:205-268)."""
-    from cuclark_tpu.io import fast_parse
-
-    codes2, len2 = fast_parse.pack_block_dispatch(buf2, s2, e2, width, n_rows=len(s2))
-    R = codes1.shape[0]
-    L = width
-    out = codes1.copy()
-    # place mate 2 at offset len1 + 1 per row (vectorized shift-gather)
-    col = np.arange(L)[None, :]
-    src_col = col - (len1[:, None] + 1)
-    take = np.clip(src_col, 0, L - 1)
-    shifted = np.take_along_axis(codes2, take, axis=1)
-    use = (src_col >= 0) & (src_col < len2[:, None])
-    out = np.where(use, shifted, out).astype(np.uint8)
-    return out, len1 + len2 + 1

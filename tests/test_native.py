@@ -189,3 +189,31 @@ def test_reduce_occurrences_count_saturation():
     np.testing.assert_array_equal(km, [7, 9])
     np.testing.assert_array_equal(lb, [3, 4])
     np.testing.assert_array_equal(ct, [0xFFFFFFFF, 1])
+
+
+def test_pack_block2_paired_matches_fallback():
+    """Fused native mate1+N+mate2 wire packing == the numpy detour
+    (pack + shift-merge + re-pack), including truncation, ragged-row
+    padding, and embedded Ns."""
+    from cuclark_tpu import codec
+
+    t1 = ("@a\nACGTACGTACGT\n+\nIIIIIIIIIIII\n@b\nGGNNCC\n+\nIIIIII\n"
+          "@c\nTTTT\n+\nIIII\n")
+    t2 = ("@a\nTTAA\n+\nIIII\n@b\nCCCCCCCCCC\n+\nIIIIIIIIII\n"
+          "@c\nAAC\n+\nIII\n")
+    b1 = np.frombuffer(t1.encode(), np.uint8)
+    b2 = np.frombuffer(t2.encode(), np.uint8)
+    _, _, s1, e1 = fast_parse.scan_fastq(b1)
+    _, _, s2, e2 = fast_parse.scan_fastq(b2)
+    for L, n_rows in ((16, 3), (24, 5), (8, 3)):
+        got = native.pack_block2_paired(b1, s1, e1, b2, s2, e2, L,
+                                        n_rows=n_rows)
+        Lp = -(-L // 8) * 8
+        codes1, len1 = fast_parse.pack_block(b1, s1, e1, Lp, n_rows=n_rows)
+        codes, ln2 = fast_parse.merge_paired_codes(
+            codes1, len1, b2, s2, e2, Lp)
+        ln2[len(s1):] = 0  # padding rows carry no joining 'N'
+        w2, wv = codec.pack_codes(codes)
+        np.testing.assert_array_equal(got[0], w2)
+        np.testing.assert_array_equal(got[1], wv)
+        np.testing.assert_array_equal(got[2], ln2)
