@@ -223,6 +223,7 @@ class _SpillStore:
 
         self.dir = Path(tempfile.mkdtemp(prefix="cuclark_build_",
                                          dir=base_dir))
+        self.k = k
         self.nshards = 1 << self.SHARD_BITS
         self.shift = np.uint64(max(0, 2 * k - self.SHARD_BITS))
         self._files = [None] * self.nshards
@@ -256,20 +257,76 @@ class _SpillStore:
             rec[:, 1] = (sl[lo:hi].astype(np.uint64) << np.uint64(32)) | sc[lo:hi]
             self._fh(int(s)).write(rec.tobytes())
 
-    def reduce(self, min_count: int, label_space=None):
-        """Close shards; yield (kmers, labels, counts) per shard, reduced."""
+    def reduce(self, min_count: int, label_space=None,
+               budget_bytes: int | None = None):
+        """Close shards; yield (kmers, labels, counts) per shard,
+        reduced, in ascending k-mer-range order.
+
+        budget_bytes bounds the per-shard reduce footprint: loading +
+        sorting a shard costs ~4x its record bytes (records + the
+        native sort's A/B scratch + outputs), so any shard whose file
+        exceeds budget/4 is first SPLIT by the next 3 k-mer bits into
+        8 sub-shards (streamed through a small chunk buffer, preserving
+        occurrence order) and those reduce independently — the
+        recursive step that keeps the out-of-core build's RSS bounded
+        by the budget instead of by the biggest shard."""
         for f in self._files:
             if f is not None:
                 f.close()
+        if budget_bytes is not None:
+            budget_bytes = max(budget_bytes, 1 << 20)  # 1 MB floor
+        from collections import deque
+
+        queue = deque()
         for s in range(self.nshards):
             p = self.dir / f"shard_{s:03d}.bin"
-            if not p.exists():
+            if p.exists():
+                queue.append((p, self.SHARD_BITS))
+        while queue:
+            p, bits = queue.popleft()
+            if (budget_bytes is not None
+                    and p.stat().st_size * 4 > budget_bytes
+                    and 2 * self.k - bits >= 3):
+                subs = self._split(p, bits, budget_bytes)
+                queue.extendleft(reversed(subs))  # keep ascending order
                 continue
             rec = np.fromfile(p, dtype=np.uint64).reshape(-1, 2)
-            km = rec[:, 0]
+            p.unlink()
+            km = rec[:, 0].copy()
             lb = (rec[:, 1] >> np.uint64(32)).astype(np.uint32)
             ct = (rec[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            del rec
             yield discriminate(km, lb, min_count, ct, label_space)
+
+    def _split(self, p: Path, bits: int, budget_bytes: int):
+        """Stream-split one shard file into 8 sub-shards by the next 3
+        top k-mer bits.  Chunked reads keep RAM at ~budget/4."""
+        sub_shift = np.uint64(max(0, 2 * self.k - bits - 3))
+        paths = [p.with_name(f"{p.stem}_{i}.bin") for i in range(8)]
+        outs = [open(sp, "wb") for sp in paths]
+        chunk_rec = max(budget_bytes // 4 // 16, 65536)
+        with open(p, "rb") as f:
+            while True:
+                rec = np.fromfile(f, dtype=np.uint64, count=2 * chunk_rec)
+                if rec.size == 0:
+                    break
+                rec = rec.reshape(-1, 2)
+                sub = ((rec[:, 0] >> sub_shift) & np.uint64(7)).astype(
+                    np.int64)
+                for i in range(8):
+                    part = rec[sub == i]
+                    if len(part):
+                        outs[i].write(part.tobytes())
+        for o in outs:
+            o.close()
+        p.unlink()
+        out = []
+        for sp in paths:
+            if sp.stat().st_size:
+                out.append((sp, bits + 3))
+            else:
+                sp.unlink()
+        return out
 
     def cleanup(self) -> None:
         import shutil
@@ -457,14 +514,34 @@ def build_db(file_labels, cfg: DBConfig, progress=None,
     kmers, labels, counts, space, spill = collect_target_kmers(
         file_labels, cfg, progress, spill_dir=spill_dir)
     if spill is not None:
-        # out-of-core: reduce each k-mer-range shard independently; the
-        # discriminative survivors are far smaller than the occurrences
+        # Out-of-core: reduce each k-mer-range shard independently under
+        # the same RAM budget, staging survivors back to disk so peak
+        # RSS is bounded by (final arrays + one shard's reduce), not by
+        # holding every shard's survivors alive through a concatenate.
+        budget = (None if cfg.build_ram_mb is None
+                  else int(cfg.build_ram_mb * 1e6))
         try:
-            parts = list(spill.reduce(cfg.min_count, space))
+            red = spill.dir / "reduced"
+            red.mkdir()
+            sizes = []
+            for km_r, lb_r, _ct in spill.reduce(cfg.min_count, space,
+                                                budget):
+                i = len(sizes)
+                km_r.tofile(red / f"km_{i:04d}.bin")
+                lb_r.tofile(red / f"lb_{i:04d}.bin")
+                sizes.append(len(km_r))
+            total = int(sum(sizes))
+            kmers = np.empty(total, np.uint64)
+            labels = np.empty(total, np.uint32)
+            off = 0
+            for i, nsz in enumerate(sizes):
+                kmers[off:off + nsz] = np.fromfile(
+                    red / f"km_{i:04d}.bin", np.uint64)
+                labels[off:off + nsz] = np.fromfile(
+                    red / f"lb_{i:04d}.bin", np.uint32)
+                off += nsz
         finally:
             spill.cleanup()
-        kmers = np.concatenate([p[0] for p in parts]) if parts else kmers
-        labels = np.concatenate([p[1] for p in parts]) if parts else labels
     else:
         kmers, labels, counts = discriminate(kmers, labels, cfg.min_count,
                                              counts, space)

@@ -430,7 +430,11 @@ def build_table(
         raise ValueError("kmers and labels length mismatch")
     if labels.size and (labels.min() < 1 or labels.max() > MTRGTS):
         raise ValueError("labels must be 1-based and <= MTRGTS")
-    if len(np.unique(kmers)) != n:
+    # builder outputs arrive sorted ascending (sort-reduce), where
+    # uniqueness is a diff check; np.unique's full sorted copy (8 B/key
+    # — GBs at RefSeq scale) is only the fallback for unsorted callers
+    if n > 1 and not (np.all(kmers[1:] > kmers[:-1])
+                      or len(np.unique(kmers)) == n):
         raise ValueError("k-mers must be unique (target-specific)")
 
     if nb_bits is None:

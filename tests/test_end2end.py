@@ -169,3 +169,47 @@ def test_spill_build_matches_in_ram(tmp_path):
     assert db_spill.target_names == db_ram.target_names
     import numpy as np
     np.testing.assert_array_equal(db_spill.table, db_ram.table)
+
+
+def test_spill_split_reduce_matches_unbounded(tmp_path):
+    """A reduce budget smaller than a shard's 4x footprint must split
+    shards by deeper k-mer bits and still yield the same survivors in
+    the same (ascending) order."""
+    import numpy as np
+
+    from cuclark_tpu.db_build.builder import _SpillStore, discriminate
+
+    rng = np.random.default_rng(12)
+    k = 21
+    n = 200_000
+    # all keys in ONE top-bits shard: its file (3.2 MB) exceeds the
+    # 1 MB-floor budget's /4 threshold, forcing recursive splits
+    km = rng.integers(0, 1 << (2 * k - 6), size=n, dtype=np.uint64)
+    third = n // 3
+    km[:third] = km[third: 2 * third]  # duplicates across labels
+    lb = rng.integers(1, 9, size=n).astype(np.uint32)
+    ct = np.ones(n, np.uint32)
+
+    def collect(budget):
+        store = _SpillStore(str(tmp_path), k)
+        # feed in several chunks to interleave shard appends
+        for lo in range(0, n, 7777):
+            hi = min(lo + 7777, n)
+            store.add(km[lo:hi], lb[lo:hi], ct[lo:hi])
+        try:
+            parts = list(store.reduce(0, budget_bytes=budget))
+        finally:
+            store.cleanup()
+        return (len(parts),
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    np_ref, km_ref, lb_ref = collect(None)   # no splitting
+    np_tiny, km_tiny, lb_tiny = collect(1)   # floor kicks in -> splits
+    assert np_ref == 1 and np_tiny > 8       # splitting actually ran
+    np.testing.assert_array_equal(km_tiny, km_ref)
+    np.testing.assert_array_equal(lb_tiny, lb_ref)
+    # sanity vs direct discriminate
+    km_d, lb_d, _ = discriminate(km, lb, 0, ct)
+    np.testing.assert_array_equal(km_ref, km_d)
+    np.testing.assert_array_equal(lb_ref, lb_d)
