@@ -1,13 +1,20 @@
 """Benchmark: classified reads/sec on one chip, AT REPRESENTATIVE SCALE.
 
 The HEADLINE number is the RefSeq-bacteria-shaped configuration of
-BASELINE ladder 3 — k=31, 64M target-specific k-mers (a ~1 GB q4
-table), 16,384 targets — because that is the project's stated north
-star ("classified reads/sec/chip on the RefSeq-bacteria DB",
-BASELINE.md).  A small-table configuration (4M k-mers, 67 MB) is kept
-in detail for continuity with earlier rounds; r02's headline was
-measured there and overstated the realistic per-chip rate (the q4
-gather is NOT flat in table size — see BENCHNOTES.md round 3).
+BASELINE ladder 3 — k=31, 64M target-specific k-mers (a ~1 GB qs
+table), 16,384 targets — the project's stated north star ("classified
+reads/sec/chip on the RefSeq-bacteria DB", BASELINE.md).  Detail blocks
+cover the full BASELINE ladder:
+
+  small        4M k-mers / 67 MB (r01/r02 continuity)
+  scale4g      256M k-mers — ladder 3's literal "~4 GB DB" point (the
+               widened-main qs table, BENCHNOTES round 4)
+  e2e_*        file -> CSV through the whole pipeline, median of 3
+               passes with the spread recorded
+  stream_ratio resident vs 8-part host-streamed DB (swap-cycle analog)
+  mesh_e2e     single-process global-mesh path vs plain path
+  light_paired ladder 2: light preset (k=27, gap=4) + paired mates
+  build_spill  out-of-core DB build probe (fresh subprocess RSS)
 
 Prints ONE JSON line:
 
@@ -21,15 +28,25 @@ classified per minute per 6 GB GTX-class GPU against the bacteria DB —
 i.e. BASELINE_READS_PER_SEC = 16667 reads/s/device.  vs_baseline is
 our reads/s divided by that.
 
+Timing policy (recorded in detail.timing): device steps are min over
+CUCLARK_BENCH_REPS amortized passes (repeatable to ~1%); e2e numbers
+are the MEDIAN of 3 timed passes with min and per-pass times recorded,
+because single passes through the remote relay occasionally degrade
+(observed 253K vs 31K back-to-back in round 3).
+
 Env knobs: CUCLARK_BENCH_READS, CUCLARK_BENCH_KMERS,
 CUCLARK_BENCH_READLEN, CUCLARK_BENCH_TARGETS, CUCLARK_BENCH_REPS,
 CUCLARK_BENCH_SCALE_KMERS, CUCLARK_BENCH_SCALE_TARGETS,
-CUCLARK_BENCH_E2E_READS, CUCLARK_BENCH_BUILD_MB (spill-path probe;
-0 disables).
+CUCLARK_BENCH_E2E_READS, CUCLARK_BENCH_4G_KMERS (0 disables scale4g),
+CUCLARK_BENCH_STREAM (0 disables stream_ratio), CUCLARK_BENCH_MESH
+(0 disables mesh_e2e), CUCLARK_BENCH_PAIRED_READS (0 disables
+light_paired), CUCLARK_BENCH_BUILD_MB (spill probe; 0 disables).
 """
 
+import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,9 +77,9 @@ def main():
         pass
 
     from cuclark_tpu import codec
-    from cuclark_tpu.config import DBConfig
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
     from cuclark_tpu.hashdb import build_table
-    from cuclark_tpu.pipeline import classify_step_packed
+    from cuclark_tpu.pipeline import Classifier, classify_step_packed
 
     n_reads = int(os.environ.get("CUCLARK_BENCH_READS", 131072))
     n_kmers = int(os.environ.get("CUCLARK_BENCH_KMERS", 4_000_000))
@@ -73,12 +90,17 @@ def main():
     scale_kmers = int(os.environ.get("CUCLARK_BENCH_SCALE_KMERS",
                                      64_000_000))
     scale_targets = int(os.environ.get("CUCLARK_BENCH_SCALE_TARGETS", 16384))
+    g4_kmers = int(os.environ.get("CUCLARK_BENCH_4G_KMERS", 256_000_000))
     k = 31
     n_reads = (n_reads // chunk) * chunk or chunk
 
     rng = np.random.default_rng(0)
-    detail = {"device": str(jax.devices()[0]).split(":")[0],
-              "read_len": read_len}
+    detail = {
+        "device": str(jax.devices()[0]).split(":")[0],
+        "read_len": read_len,
+        "timing": {"device_step": f"min_of_{reps}",
+                   "e2e": "median_of_3"},
+    }
 
     # --- synthetic reads: substrings of synthetic genomes ---
     genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
@@ -115,112 +137,223 @@ def main():
             times.append(time.time() - t0)
         return n / min(times), min(times)
 
-    def synth_db(num_kmers, num_targets, load):
+    def synth_db(num_kmers, num_targets, load, kcfg=None):
         km = rng.integers(0, 1 << 62, size=int(num_kmers * 1.05),
                           dtype=np.uint64)
-        km = np.unique(codec.canonical_np(km, k))[:num_kmers]
+        kk = (kcfg or DBConfig(k=k)).k
+        km = np.unique(codec.canonical_np(km, kk))[:num_kmers]
         labels = rng.integers(1, num_targets + 1,
                               size=len(km)).astype(np.uint32)
         names = ["NA"] + [f"T{i}" for i in range(1, num_targets + 1)]
         t0 = time.time()
-        db = build_table(km, labels, names, DBConfig(k=k, target_load=load))
+        cfg = kcfg or DBConfig(k=k, target_load=load)
+        db = build_table(km, labels, names, cfg)
         return db, time.time() - t0
 
+    def step_block(db, build_s, n_label):
+        """Device-step measurement on the production probe mode."""
+        main_np, stash_np = db.split_tables()
+        tbl = jnp.asarray(main_np)
+        stash_dev = jnp.asarray(stash_np) if stash_np is not None else None
+        rps, dt = time_reps(make_runner(db, tbl, dev_chunks, stash_dev),
+                            n_reads)
+        block = {
+            "db_kmers": int(db.num_kmers),
+            "nb_bits": db.nb_bits,
+            "stash_bits": db.stash_bits,
+            "table_mb": round(db.table.nbytes / 1e6, 1),
+            "db_build_s": round(build_s, 1),
+            "split_probe": stash_dev is not None,
+            "step_ms": round(dt / len(dev_chunks) * 1e3, 2),
+            "reads_per_sec": round(rps, 1),
+        }
+        _log(f"{n_label}: {rps:,.0f} reads/s "
+             f"({block['table_mb']} MB table)")
+        del tbl, stash_dev
+        gc.collect()
+        return rps, block
+
     # --- HEADLINE: at-scale device step (RefSeq-bacteria-shaped) ---
-    # probe mode mirrors the production Classifier: split main/stash
-    # operands at scale (see hashdb.KmerDB.use_split_probe)
     _log(f"building at-scale table ({scale_kmers} kmers)")
     db_s, scale_build = synth_db(scale_kmers, scale_targets, 0.85)
-    main_s, stash_s = db_s.split_tables()
-    tbl_s = jnp.asarray(main_s)
-    stash_dev = jnp.asarray(stash_s) if stash_s is not None else None
     _log("at-scale warmup compile")
-    rps_scale, dt_s = time_reps(
-        make_runner(db_s, tbl_s, dev_chunks, stash_dev), n_reads)
+    rps_scale, blk = step_block(db_s, scale_build, "at-scale")
     detail.update({
         "n_reads": n_reads,
-        "db_kmers": int(db_s.num_kmers),
         "n_targets": scale_targets,
         "layout": db_s.layout,
-        "table_mb": round(db_s.table.nbytes / 1e6, 1),
-        "db_build_s": round(scale_build, 1),
-        "split_probe": stash_dev is not None,
-        "step_ms": round(dt_s * 1e3, 2),
         "kmer_probes_per_sec": round(rps_scale * (read_len - k + 1), 0),
     })
+    detail.update({k_: v for k_, v in blk.items()
+                   if k_ != "reads_per_sec"})
+    detail["step_reads_per_sec"] = blk["reads_per_sec"]
 
-    # --- small-table device step (r01/r02 headline config, for
-    #     continuity + the table-size scaling record) ---
+    # --- small-table device step (r01/r02 headline config) ---
     _log("small-table step")
     db, build_s = synth_db(n_kmers, n_targets, 0.7)
-    table = jnp.asarray(db.table)
-    rps_small, _ = time_reps(make_runner(db, table, dev_chunks), n_reads)
-    detail["small"] = {
-        "db_kmers": int(db.num_kmers),
-        "n_targets": n_targets,
-        "table_mb": round(db.table.nbytes / 1e6, 1),
-        "db_build_s": round(build_s, 2),
-        "reads_per_sec": round(rps_small, 1),
-    }
+    _, small_blk = step_block(db, build_s, "small")
+    small_blk["n_targets"] = n_targets
+    detail["small"] = small_blk
 
-    # --- end-to-end file -> CSV (host scan/pack/format included),
-    #     against the AT-SCALE table — the reference's own metric is
-    #     objects/min through the whole binary (CuCLARK_hh.hh:1940-1943)
+    # --- end-to-end file -> CSV (host scan/pack/format included) ---
     e2e_reads = int(os.environ.get("CUCLARK_BENCH_E2E_READS", 500_000))
-    if e2e_reads:
-        import tempfile
-        from pathlib import Path
+    import tempfile
+    from pathlib import Path
 
-        from cuclark_tpu.config import ClassifyConfig
-        from cuclark_tpu.pipeline import Classifier
+    td_ctx = tempfile.TemporaryDirectory()
+    td = Path(td_ctx.name)
+    base = "ACGT"
 
-        base = "ACGT"
-        starts_e = rng.integers(0, len(genome) - read_len, size=e2e_reads)
-        rows = genome[starts_e[:, None] + np.arange(read_len)[None, :]]
+    def write_fastq(path, rows):
         seq_bytes = np.frombuffer(base.encode(), np.uint8)[rows]
-        with tempfile.TemporaryDirectory() as td:
-            fq = Path(td) / "bench.fq"
-            qual = b"I" * read_len
-            with open(fq, "wb") as f:
-                blocks = []
-                for i in range(e2e_reads):
-                    blocks.append(b"@r%d\n%s\n+\n%s\n"
-                                  % (i, seq_bytes[i].tobytes(), qual))
-                    if len(blocks) == 65536:
-                        f.write(b"".join(blocks))
-                        blocks = []
-                f.write(b"".join(blocks))
-            for tag, e2e_db in (("e2e_scale", db_s), ("e2e_small", db)):
-                clf = Classifier(e2e_db, ClassifyConfig(batch_reads=chunk))
-                out_csv = Path(td) / "out.csv"
-                _log(f"{tag} warmup")
-                clf.classify_file_to_csv(fq, out_csv)  # warmup (compile)
-                # best of 2 timed passes: the remote relay occasionally
-                # degrades for tens of seconds and poisons single-pass
-                # e2e timings (observed 253K vs 31K on back-to-back
-                # runs of identical code)
-                e2e_dt = float("inf")
-                for _ in range(2):
-                    t0 = time.time()
-                    n = clf.classify_file_to_csv(fq, out_csv)
-                    e2e_dt = min(e2e_dt, time.time() - t0)
-                    assert n == e2e_reads
-                detail[tag] = {
-                    "reads_per_sec": round(e2e_reads / e2e_dt, 1),
-                    "objects_per_min": int(e2e_reads / e2e_dt * 60),
-                }
+        qual = b"I" * rows.shape[1]
+        with open(path, "wb") as f:
+            blocks = []
+            for i in range(rows.shape[0]):
+                blocks.append(b"@r%d\n%s\n+\n%s\n"
+                              % (i, seq_bytes[i].tobytes(), qual))
+                if len(blocks) == 65536:
+                    f.write(b"".join(blocks))
+                    blocks = []
+            f.write(b"".join(blocks))
+
+    def e2e_times(clf, fq, out_csv, n_expect, passes=3, paired=None):
+        clf.classify_file_to_csv(fq, out_csv, paired)  # warmup (compile)
+        ts = []
+        for _ in range(passes):
+            t0 = time.time()
+            n = clf.classify_file_to_csv(fq, out_csv, paired)
+            ts.append(time.time() - t0)
+            assert n == n_expect
+        med = statistics.median(ts)
+        return {
+            "reads_per_sec": round(n_expect / med, 1),
+            "objects_per_min": int(n_expect / med * 60),
+            "best_reads_per_sec": round(n_expect / min(ts), 1),
+            "pass_s": [round(t, 2) for t in ts],
+        }
+
+    fq = td / "bench.fq"
+    if e2e_reads:
+        starts_e = rng.integers(0, len(genome) - read_len, size=e2e_reads)
+        write_fastq(fq, genome[starts_e[:, None]
+                               + np.arange(read_len)[None, :]])
+        for tag, e2e_db in (("e2e_scale", db_s), ("e2e_small", db)):
+            _log(f"{tag}")
+            clf = Classifier(e2e_db, ClassifyConfig(batch_reads=chunk))
+            detail[tag] = e2e_times(clf, fq, td / "out.csv", e2e_reads)
+            del clf
+            gc.collect()
         detail["e2e_reads_per_sec"] = detail["e2e_scale"]["reads_per_sec"]
 
-    del table, tbl_s, stash_dev
+    # --- resident vs streamed DB at the 1 GB config (swap-cycle
+    #     analog; round-2's promised "within ~2x" number) ---
+    if e2e_reads and int(os.environ.get("CUCLARK_BENCH_STREAM", 1)):
+        _log("stream_ratio (8-part host streaming)")
+        s_reads = min(e2e_reads, 262144)
+        fq_s = td / "stream.fq"
+        starts_s = rng.integers(0, len(genome) - read_len, size=s_reads)
+        write_fastq(fq_s, genome[starts_s[:, None]
+                                 + np.arange(read_len)[None, :]])
+        main_np, stash_np = db_s.split_tables()
+        budget = (main_np.nbytes / 8
+                  + (stash_np.nbytes if stash_np is not None else 0)) / 1e6
+        clf = Classifier(db_s, ClassifyConfig(
+            batch_reads=chunk, max_table_mb=budget + 1))
+        blk = e2e_times(clf, fq_s, td / "outs.csv", s_reads, passes=2)
+        blk["stream_parts"] = clf.stream_parts
+        blk["ratio_vs_resident"] = round(
+            detail["e2e_scale"]["reads_per_sec"] / blk["reads_per_sec"], 2)
+        detail["stream_ratio"] = blk
+        del clf, main_np, stash_np
+        gc.collect()
 
-    # --- out-of-core build probe (spill path; VERDICT r02 item 7) ---
+    # --- global-mesh path vs plain path (single process; round-2's
+    #     promised "within ~1.5x" number) ---
+    if e2e_reads and int(os.environ.get("CUCLARK_BENCH_MESH", 1)):
+        _log("mesh_e2e (global-mesh lockstep path)")
+        from cuclark_tpu.parallel import multihost
+        from cuclark_tpu.parallel.mesh import make_global_mesh
+
+        mesh = make_global_mesh(1)
+        cfgm = ClassifyConfig(batch_reads=chunk)
+        multihost.classify_file_to_csv(db_s, cfgm, fq, td / "outm.csv",
+                                       num_db=1, mesh=mesh)  # warmup
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            n = multihost.classify_file_to_csv(
+                db_s, cfgm, fq, td / "outm.csv", num_db=1, mesh=mesh)
+            ts.append(time.time() - t0)
+            assert n == e2e_reads
+        med = statistics.median(ts)
+        detail["mesh_e2e"] = {
+            "reads_per_sec": round(e2e_reads / med, 1),
+            "pass_s": [round(t, 2) for t in ts],
+            "ratio_vs_plain": round(
+                detail["e2e_scale"]["reads_per_sec"] / (e2e_reads / med),
+                2),
+        }
+        gc.collect()
+
+    del db
+    # free the headline device state before the big configs
+    gc.collect()
+
+    # --- ladder 2: light preset + paired mates e2e ---
+    paired_reads = int(os.environ.get("CUCLARK_BENCH_PAIRED_READS",
+                                      1_000_000))
+    if paired_reads:
+        _log(f"light_paired ({paired_reads} mate pairs)")
+        lk = 27
+        lcfg = DBConfig(k=lk, gap=4, target_load=0.7)
+        db_l, build_l = synth_db(
+            int(os.environ.get("CUCLARK_BENCH_LIGHT_KMERS", 32_000_000)),
+            1024, 0.7, kcfg=lcfg)
+        mlen = read_len // 2
+        starts_p = rng.integers(0, len(genome) - read_len,
+                                size=paired_reads)
+        write_fastq(td / "r1.fq",
+                    genome[starts_p[:, None] + np.arange(mlen)[None, :]])
+        write_fastq(td / "r2.fq",
+                    genome[starts_p[:, None]
+                           + np.arange(mlen, read_len)[None, :]])
+        clf = Classifier(db_l, ClassifyConfig(batch_reads=chunk))
+        blk = e2e_times(clf, td / "r1.fq", td / "outp.csv", paired_reads,
+                        paired=td / "r2.fq")
+        blk.update({"k": lk, "gap": 4,
+                    "db_kmers": int(db_l.num_kmers),
+                    "table_mb": round(db_l.table.nbytes / 1e6, 1),
+                    "db_build_s": round(build_l, 1),
+                    "pairs_per_min": blk.pop("objects_per_min")})
+        detail["light_paired"] = blk
+        del clf, db_l
+        gc.collect()
+
+    del db_s
+    gc.collect()
+
+    # --- ladder 3 literal point: the ~4 GB DB (256M k-mers) ---
+    if g4_kmers:
+        _log(f"scale4g: building {g4_kmers} kmers (widened qs table)")
+        db4, build4 = synth_db(g4_kmers, scale_targets, 0.85)
+        _log("scale4g warmup compile")
+        _, blk4 = step_block(db4, build4, "scale4g")
+        blk4["n_targets"] = scale_targets
+        detail["scale4g"] = blk4
+        del db4
+        gc.collect()
+
+    td_ctx.cleanup()
+
+    # --- out-of-core build probe (spill path; fresh-process RSS) ---
     build_mb = int(os.environ.get("CUCLARK_BENCH_BUILD_MB", 48))
     if build_mb:
-        _log(f"spill-path build probe ({build_mb} Mbases)")
+        _log(f"spill-path build probe ({build_mb} Mbases, subprocess)")
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
         try:
-            from bench_build_scale import run as build_run
+            from bench_build_scale import run_subprocess as build_run
 
             # budget sized to ~1/3 of the occurrence bytes forces the
             # disk-shard path

@@ -64,6 +64,14 @@ class DBConfig:
     # out-of-core (the answer to the reference's 146 GB in-RAM mother
     # table, README.md:93-94). None = never spill.
     build_ram_mb: int | None = 4096
+    # qs only: when the Poisson-sized stash would exit the WARM gather
+    # regime (> 2^20 rows = 33.6 MB, measured warm even beside a
+    # 4.3 GB main table — BENCHNOTES round 4), widen the main table by
+    # one bit instead: halving lambda collapses the overflow tail ~9x
+    # (3.3% -> 0.37% of n at lambda 1.91 -> 0.95), trading 2x main
+    # bytes for a stash back at warm speed (292K -> ~444K r/s measured
+    # at the 256M-kmer ladder-3 config).  Disable to minimize memory.
+    widen_for_warm_stash: bool = True
 
     def __post_init__(self):
         if not (2 <= self.k <= MAXK):

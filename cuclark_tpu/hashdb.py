@@ -379,14 +379,32 @@ def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
             f"stash_bits={stash_bits}")
 
 
+# Largest stash (rows, log2) still in the WARM gather regime: 2^20
+# rows = 33.6 MB measured at the flat warm rate even beside a 4.3 GB
+# main table; 2^21 = 67 MB is already ~1.5x slower and 2^22 = 134 MB
+# probes at the cold rate (BENCHNOTES round 4 stash sweep).
+WARM_STASH_MAX_BITS = 20
+
+
 def choose_nb_bits(n_kmers: int, cfg: DBConfig) -> int:
-    """Smallest power-of-two bucket count achieving <= target_load."""
+    """Smallest power-of-two bucket count achieving <= target_load.
+
+    qs + widen_for_warm_stash: additionally widen while the Poisson
+    overflow tail would need a stash past the warm gather regime —
+    each extra main bit halves lambda and shrinks the required stash
+    ~9x, so one widening step always suffices in practice.  Capped at
+    MAX_NB_BITS_Q (int32 row indexing); beyond that the table is
+    db-axis sharded and each shard's stash is warm again."""
     slots = 4 if cfg.layout in ("q4", "qs") else cfg.slots
     need = max(1, int(np.ceil(n_kmers / (slots * cfg.target_load))))
     bits = max(4, int(np.ceil(np.log2(need))))
     if cfg.layout in ("q4", "qs"):
         # quotient must fit 15 bits: 32 - nb_bits <= 15
         bits = max(bits, 17)
+    if cfg.layout == "qs" and getattr(cfg, "widen_for_warm_stash", True):
+        while (bits < MAX_NB_BITS_Q
+               and choose_stash_bits(n_kmers, bits) > WARM_STASH_MAX_BITS):
+            bits += 1
     return bits
 
 

@@ -84,7 +84,9 @@ def run_subprocess(total_mb: int, ram_mb: int):
     env = dict(os.environ)
     env["BUILD_BENCH_MB"] = str(total_mb)
     env["BUILD_BENCH_RAM_MB"] = str(ram_mb)
-    env.setdefault("PYTHONPATH", str(Path(__file__).resolve().parent.parent))
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = (repo + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else repo)
     out = subprocess.run(
         [sys.executable, str(Path(__file__).resolve())],
         env=env, capture_output=True, text=True, timeout=3600)

@@ -140,3 +140,23 @@ def test_plan_parts_subtracts_resident_stash():
     assert clf._plan_parts(main, None, 1) == 2
     # with a 40 MB resident stash only 60 MB remains: 4 parts needed
     assert clf._plan_parts(main, stash, 1) == 4
+
+
+def test_widen_for_warm_stash():
+    """qs sizing: a config whose Poisson stash would exit the warm
+    gather regime widens the main table one bit instead (overflow tail
+    collapses ~9x); small DBs and the opt-out are unaffected."""
+    from cuclark_tpu.config import DBConfig
+    from cuclark_tpu.hashdb import (WARM_STASH_MAX_BITS, choose_nb_bits,
+                                    choose_stash_bits)
+
+    cfg = DBConfig(k=31, target_load=0.85)
+    cfg_off = DBConfig(k=31, target_load=0.85, widen_for_warm_stash=False)
+    n = 256_000_000
+    assert choose_nb_bits(n, cfg_off) == 27      # minimal table
+    bits = choose_nb_bits(n, cfg)                # widened
+    assert bits == 28
+    assert choose_stash_bits(n, bits) <= WARM_STASH_MAX_BITS
+    # small DBs are identical either way
+    assert choose_nb_bits(4_000_000, cfg) == choose_nb_bits(4_000_000,
+                                                            cfg_off)
