@@ -21,7 +21,6 @@ Two host paths:
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -219,30 +218,6 @@ def _shard_prefetch(*arrs):
                 s.data.copy_to_host_async()
         except (AttributeError, RuntimeError):
             return
-
-
-@dataclass
-class ReadBatch:
-    """Host-side packed batch."""
-
-    names: list[str]
-    codes: np.ndarray    # uint8 [R, L] (INVALID-padded)
-    lengths: np.ndarray  # int64 [R] raw sequence char count
-    count: int           # actual reads (<= R, rest is padding)
-
-
-def pack_reads(reads, batch_size: int, length: int) -> ReadBatch:
-    """reads: list of (name, seq_bytes). Pads to [batch_size, length]."""
-    codes = np.full((batch_size, length), codec.INVALID, dtype=np.uint8)
-    lengths = np.zeros(batch_size, dtype=np.int64)
-    names = []
-    for i, (name, seq) in enumerate(reads):
-        enc = codec.encode_ascii(seq)
-        n = min(len(enc), length)
-        codes[i, :n] = enc[:n]
-        lengths[i] = len(seq)
-        names.append(name)
-    return ReadBatch(names=names, codes=codes, lengths=lengths, count=len(reads))
 
 
 class Classifier:
@@ -835,15 +810,28 @@ class Classifier:
         if inflight is not None:
             yield from self._emit(*inflight, paired=paired)
 
+    def _wire_records(self, batch):
+        """Pack (name, seq) records straight to the wire format through
+        the fused native packer (one concat buffer + offset arrays) —
+        the record-iterator paths' version of the file fast path; numpy
+        fallback inside pack_block2_dispatch is bit-identical."""
+        from cuclark_tpu.io import fast_parse
+
+        max_len = max((len(s) for _, s in batch), default=1)
+        L = max(self._bin_for(max_len), self.db.k)
+        seqs = [s if isinstance(s, bytes) else bytes(s)
+                for _, s in batch]
+        buf = np.frombuffer(b"".join(seqs), np.uint8)
+        ln = np.array([len(s) for s in seqs], dtype=np.int64)
+        ends = np.cumsum(ln)
+        p2, vb, lengths = fast_parse.pack_block2_dispatch(
+            buf, ends - ln, ends, L, n_rows=len(batch))
+        names = [n for n, _ in batch]
+        return (p2, vb), names, lengths, len(batch)
+
     def _classify_records_streaming(self, records, paired: bool):
         group = []
-
-        def pack(batch):
-            max_len = max((len(s) for _, s in batch), default=1)
-            L = max(self._bin_for(max_len), self.db.k)
-            rb = pack_reads(batch, len(batch), L)
-            return codec.pack_codes(rb.codes), rb.names, rb.lengths, rb.count
-
+        pack = self._wire_records
         batch = []
         for rec in records:
             batch.append(rec)
@@ -859,15 +847,13 @@ class Classifier:
             yield from self._classify_group_streaming(group, paired)
 
     def _dispatch_batch(self, batch, inflight, paired: bool):
-        max_len = max((len(s) for _, s in batch), default=1)
-        L = max(self._bin_for(max_len), self.db.k)
-        rb = pack_reads(batch, len(batch), L)
-        out = self._device_step(codec.pack_codes(rb.codes))
+        wire, names, lengths, count = self._wire_records(batch)
+        out = self._device_step(wire)
         _host_prefetch(out[0], out[1])
         prev_rows = (
             self._emit(*inflight, paired=paired) if inflight is not None else iter(())
         )
-        return (out[0], out[1], rb.names, rb.lengths, rb.count), prev_rows
+        return (out[0], out[1], names, lengths, count), prev_rows
 
 
 def dense_counts(labels_np: np.ndarray, n_targets: int) -> np.ndarray:
