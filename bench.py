@@ -264,8 +264,25 @@ def main():
         blk["stream_parts"] = clf.stream_parts
         blk["ratio_vs_resident"] = round(
             detail["e2e_scale"]["reads_per_sec"] / blk["reads_per_sec"], 2)
+        # context: streaming re-uploads the whole main table once per
+        # stream_group batches; on a remote-relay H2D link the ratio is
+        # bandwidth-bound, so record the measured link rate with it
+        h2d_mb = 64
+        big = np.zeros((h2d_mb, 1 << 20), np.uint8)
+        jnp.asarray(big).block_until_ready()
+        t_h = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            jnp.asarray(big).block_until_ready()
+            t_h = min(t_h, time.time() - t0)
+        blk["h2d_mb_per_s"] = round(h2d_mb / t_h, 1)
+        groups = -(-s_reads // (chunk * clf.cfg.stream_group))
+        blk["upload_gb_per_pass"] = round(
+            groups * main_np.nbytes / 1e9, 2)
+        blk["upload_bound_s"] = round(
+            groups * main_np.nbytes / 1e6 / blk["h2d_mb_per_s"], 1)
         detail["stream_ratio"] = blk
-        del clf, main_np, stash_np
+        del clf, main_np, stash_np, big
         gc.collect()
 
     # --- global-mesh path vs plain path (single process; round-2's
@@ -277,13 +294,12 @@ def main():
 
         mesh = make_global_mesh(1)
         cfgm = ClassifyConfig(batch_reads=chunk)
-        multihost.classify_file_to_csv(db_s, cfgm, fq, td / "outm.csv",
-                                       num_db=1, mesh=mesh)  # warmup
+        engine = multihost.GlobalClassifier(db_s, cfgm, mesh=mesh)
+        engine.classify_file_to_csv(fq, td / "outm.csv")  # warmup
         ts = []
         for _ in range(2):
             t0 = time.time()
-            n = multihost.classify_file_to_csv(
-                db_s, cfgm, fq, td / "outm.csv", num_db=1, mesh=mesh)
+            n = engine.classify_file_to_csv(fq, td / "outm.csv")
             ts.append(time.time() - t0)
             assert n == e2e_reads
         med = statistics.median(ts)
@@ -294,6 +310,7 @@ def main():
                 detail["e2e_scale"]["reads_per_sec"] / (e2e_reads / med),
                 2),
         }
+        del engine
         gc.collect()
 
     del db

@@ -236,11 +236,12 @@ def _classify_multiprocess(args, db, cfg) -> int:
         else:
             jobs.extend((obj, None, res) for obj, res in pairs)
 
+    # one engine for all files: the sharded table upload and the step
+    # compilation happen once, not per input file
+    engine = multihost.GlobalClassifier(db, cfg, num_db=num_db, mesh=mesh)
     for path, paired_path, out_path in jobs:
         t0 = time.time()
-        n = multihost.classify_file_to_csv(
-            db, cfg, path, out_path, num_db=num_db,
-            paired_path=paired_path, mesh=mesh)
+        n = engine.classify_file_to_csv(path, out_path, paired_path)
         dt = time.time() - t0
         print(f" - Assignment time: {dt:.6g} s. Speed: "
               f"{int(n / dt * 60.0) if dt > 0 else 0} objects/min. "

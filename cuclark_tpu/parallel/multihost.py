@@ -130,10 +130,236 @@ def _allreduce_max_i64(values: np.ndarray) -> np.ndarray:
     return np.asarray(gathered).max(axis=0)
 
 
+class GlobalClassifier:
+    """Reusable global-mesh classification engine.
+
+    Holds the one-time state — the mesh, the resident sharded table
+    (or the host-side table for the streaming composition), and the
+    compiled step programs — so classifying MANY files (or repeated
+    passes) pays the table upload and trace cost once, not per file.
+    Construction must run on every process of the job (collective
+    device_puts); classify_file_to_csv() then follows the lockstep
+    protocol per file."""
+
+    def __init__(self, db, cfg, num_db: int = 1, mesh=None):
+        import jax
+
+        from cuclark_tpu.memplan import resolve_table_budget_mb
+        from cuclark_tpu.parallel.mesh import (ShardedClassifier,
+                                               make_global_mesh)
+        from cuclark_tpu.pipeline import Classifier, DEFAULT_LEN_BINS
+
+        self.db, self.cfg = db, cfg
+        self.nproc = jax.process_count()
+        self.pid = jax.process_index()
+        if mesh is None:
+            mesh = make_global_mesh(num_db)
+        self.mesh = mesh
+        rows_global = mesh.shape["data"]
+        if rows_global % self.nproc:
+            raise ValueError(f"data axis {rows_global} not divisible by "
+                             f"{self.nproc} processes")
+        self.rows_global = rows_global
+
+        # A bare Classifier shell reuses the scan/bin/emit helpers (and,
+        # in streaming mode, the part-streaming engine) without placing
+        # the table on a device up front.
+        clf = Classifier.__new__(Classifier)
+        clf.db, clf.cfg = db, cfg
+        clf.len_bins = tuple(sorted(DEFAULT_LEN_BINS))
+        clf.mesh = mesh
+        clf._sharded = None
+        clf.table_budget_mb = resolve_table_budget_mb(cfg.max_table_mb)
+        main_np, stash_np = db.split_tables()
+        clf.stream_parts = clf._plan_parts(main_np, stash_np,
+                                           mesh.shape["db"])
+        self.sc = None
+        if clf.stream_parts > 1:
+            # mesh + streaming composition: resident per-device shards
+            # would exceed the budget, so main bucket-range parts stream
+            # host->mesh per batch group (reference swap cycles,
+            # src/CuClarkDB.cu:813-858)
+            clf.np_table = np.ascontiguousarray(main_np)
+            clf.np_stash = (np.ascontiguousarray(stash_np)
+                            if stash_np is not None else None)
+            clf._stash_part = None
+            clf._mesh_part_step = None
+            clf._mesh_part_step_stash = None
+        else:
+            self.sc = ShardedClassifier(db, mesh,
+                                        with_labels=cfg.extended,
+                                        multihost=True)
+        self.clf = clf
+        self.stream_parts = clf.stream_parts
+
+    def classify_file_to_csv(self, path, out_path,
+                             paired_path: str | None = None) -> int:
+        """Classify one file; see module-level classify_file_to_csv for
+        the lockstep protocol.  Returns rows written by THIS process."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from cuclark_tpu import native
+        from cuclark_tpu.io import fast_parse
+        from cuclark_tpu.io.csv_out import HEADER_TAIL, format_row
+        from cuclark_tpu.parallel.mesh import ShardedClassifier
+        from cuclark_tpu.pipeline import (CsvSink, _read_file_bytes,
+                                          _shard_prefetch)
+
+        db, cfg, clf = self.db, self.cfg, self.clf
+        nproc, pid = self.nproc, self.pid
+        paired = paired_path is not None
+
+        # 1.+2. this process's record block (absolute offsets into buf)
+        if paired or nproc == 1:
+            # paired mate files shard by record index (whole-file scan
+            # keeps both files aligned); single-process scans everything
+            buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
+                clf._scan_for_classify(path, paired_path, 0, nproc, pid))
+        else:
+            # per-host byte-range scan: only this slice's records
+            buf = _read_file_bytes(path)
+            name_s, name_e, seq_s, seq_e = shard_reads_for_host(
+                buf, nproc, pid)
+            buf2 = seq_s2 = seq_e2 = None
+        n_local = len(seq_s)
+        raw_len = seq_e - seq_s
+        if buf2 is not None:
+            raw_len = raw_len + (seq_e2 - seq_s2) + 1
+        local_max_len = int(raw_len.max(initial=1))
+
+        # lockstep shape agreement: one tiny collective instead of every
+        # process scanning the whole file
+        gmax = _allreduce_max_i64(np.array([local_max_len, n_local]))
+        L = clf._bin_for(int(gmax[0]))
+        max_block = int(gmax[1])
+
+        # 3. lockstep batch count; local rows per batch divisible by the
+        #    per-process slice of the data axis
+        B_local = max(cfg.batch_reads, self.rows_global // nproc)
+        B_local -= B_local % (self.rows_global // nproc) or 0
+        n_batches = max(1, -(-max_block // B_local))
+
+        use_native = native.available()
+        written = 0
+        out_p = f"{out_path}.h{pid:03d}" if nproc > 1 else out_path
+        with open(out_p, "wb") as f:
+            sink = (CsvSink(f, db, cfg.extended, paired)
+                    if use_native else None)
+            if pid == 0:
+                # shard files concatenate in rank order to one valid CSV
+                if use_native:
+                    sink.write_header()
+                else:
+                    cols = ["Object_ID"]
+                    if cfg.extended:
+                        cols += db.target_names[1:]
+                    cols += HEADER_TAIL
+                    f.write((",".join(cols) + "\n").encode())
+
+            def flush(item):
+                nonlocal written
+                results_dev, labels_dev, ns, ne, lengths, cnt = item
+                results = ShardedClassifier.local_rows(results_dev, cnt)
+                labels_np = (ShardedClassifier.local_rows(labels_dev, cnt)
+                             if labels_dev is not None else None)
+                if use_native:
+                    sink.flush(results, labels_np, buf, ns, ne, lengths,
+                               cnt)
+                    written = sink.total_rows
+                else:
+                    names = fast_parse.names_of(buf, ns, ne)
+                    for row in clf._emit_np(results, labels_np, names,
+                                            lengths, cnt, paired):
+                        f.write(format_row(row, db.target_names,
+                                           cfg.extended).encode())
+                        written += 1
+
+            def batches():
+                """Lockstep local wire batches: ((p2, vb), ns, ne,
+                lengths, cnt) — empty ranks still emit all-padding
+                batches."""
+                W2, WV = L // 4, L // 8
+                for b in range(n_batches):
+                    blo = min(b * B_local, n_local)
+                    bhi = min(blo + B_local, n_local)
+                    cnt = bhi - blo
+                    if cnt and paired:
+                        # fused mate1+N+mate2 wire packing;
+                        # n_rows=B_local pads the ragged final batch
+                        p2, vb, lengths = (
+                            fast_parse.pack_block2_paired_dispatch(
+                                buf, seq_s[blo:bhi], seq_e[blo:bhi],
+                                buf2, seq_s2[blo:bhi], seq_e2[blo:bhi],
+                                L, n_rows=B_local))
+                    elif cnt:
+                        # fused scan->wire packing (no [R, L] byte
+                        # matrix)
+                        p2, vb, lengths = fast_parse.pack_block2_dispatch(
+                            buf, seq_s[blo:bhi], seq_e[blo:bhi], L,
+                            n_rows=B_local)
+                    else:
+                        p2 = np.zeros((B_local, W2), np.uint8)
+                        vb = np.zeros((B_local, WV), np.uint8)
+                        lengths = np.zeros(B_local, np.int64)
+                    yield ((p2, vb), name_s[blo:bhi], name_e[blo:bhi],
+                           lengths, cnt)
+
+            # The writer thread drains flushes in submission order while
+            # the main thread keeps dispatching (single-host parity;
+            # numpy/native formatting release the GIL so the overlap is
+            # real).
+            with ThreadPoolExecutor(1) as writer:
+                futs = deque()
+
+                def submit(item):
+                    futs.append(writer.submit(flush, item))
+                    while len(futs) > 3:
+                        futs.popleft().result()
+
+                if clf.stream_parts > 1:
+                    def flush_group(group):
+                        outs = clf._stream_group_dev(
+                            [w for w, _, _, _, _ in group])
+                        for ((_, ns_g, ne_g, len_g, cnt_g),
+                             (r, lab)) in zip(group, outs):
+                            submit((r, lab, ns_g, ne_g, len_g, cnt_g))
+
+                    group = []
+                    for wire, ns, ne, lengths, cnt in batches():
+                        group.append((wire, ns, ne, lengths, cnt))
+                        if len(group) >= cfg.stream_group:
+                            flush_group(group)
+                            group = []
+                    if group:
+                        flush_group(group)
+                else:
+                    inflight = deque()
+                    for (p2, vb), ns, ne, lengths, cnt in batches():
+                        results_dev, labels_dev = self.sc.step_packed(
+                            p2, vb)
+                        _shard_prefetch(results_dev, labels_dev)
+                        inflight.append((results_dev, labels_dev, ns, ne,
+                                         lengths, cnt))
+                        if len(inflight) > 3:
+                            submit(inflight.popleft())
+                    while inflight:
+                        submit(inflight.popleft())
+                while futs:
+                    futs.popleft().result()
+        if pid == 0 and use_native:
+            sink.print_hit_stats()
+        return written
+
+
 def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
                          paired_path: str | None = None,
                          mesh=None) -> int:
     """Classify one file on a GLOBAL mesh spanning every process.
+
+    One-shot wrapper over GlobalClassifier (multi-file jobs should
+    construct that once — the table upload and step compilation are
+    per-engine, not per-file).
 
     The lockstep protocol (all processes must dispatch identical
     programs for the 'db'-axis psum to meet):
@@ -164,190 +390,6 @@ def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
 
     Single-process this degenerates to the plain mesh path and is
     CPU-testable end to end.  Returns rows written by THIS process."""
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
-
-    import jax
-
-    from cuclark_tpu import native
-    from cuclark_tpu.io import fast_parse
-    from cuclark_tpu.io.csv_out import HEADER_TAIL, format_row
-    from cuclark_tpu.memplan import resolve_table_budget_mb
-    from cuclark_tpu.parallel.mesh import ShardedClassifier, make_global_mesh
-    from cuclark_tpu.pipeline import (Classifier, CsvSink, DEFAULT_LEN_BINS,
-                                      _read_file_bytes)
-
-    nproc = jax.process_count()
-    pid = jax.process_index()
-    if mesh is None:
-        mesh = make_global_mesh(num_db)
-    rows_global = mesh.shape["data"]
-    if rows_global % nproc:
-        raise ValueError(f"data axis {rows_global} not divisible by "
-                         f"{nproc} processes")
-
-    # A bare Classifier shell reuses the scan/bin/emit helpers (and, in
-    # streaming mode, the part-streaming engine) without placing the
-    # table on a device up front.
-    clf = Classifier.__new__(Classifier)
-    clf.db, clf.cfg = db, cfg
-    clf.len_bins = tuple(sorted(DEFAULT_LEN_BINS))
-    clf.mesh = mesh
-    clf._sharded = None
-    clf.table_budget_mb = resolve_table_budget_mb(cfg.max_table_mb)
-    main_np, stash_np = db.split_tables()
-    clf.stream_parts = clf._plan_parts(main_np, stash_np,
-                                       mesh.shape["db"])
-    sc = None
-    if clf.stream_parts > 1:
-        # mesh + streaming composition: resident per-device shards would
-        # exceed the budget, so main bucket-range parts stream
-        # host->mesh per batch group (reference swap cycles,
-        # src/CuClarkDB.cu:813-858)
-        clf.np_table = np.ascontiguousarray(main_np)
-        clf.np_stash = (np.ascontiguousarray(stash_np)
-                        if stash_np is not None else None)
-        clf._stash_part = None
-        clf._mesh_part_step = None
-        clf._mesh_part_step_stash = None
-    else:
-        sc = ShardedClassifier(db, mesh, with_labels=cfg.extended,
-                               multihost=True)
-    paired = paired_path is not None
-
-    # 1.+2. this process's record block (absolute offsets into buf)
-    if paired or nproc == 1:
-        # paired mate files shard by record index (whole-file scan
-        # keeps both files aligned); single-process scans everything
-        buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
-            clf._scan_for_classify(path, paired_path, 0, nproc, pid))
-    else:
-        # per-host byte-range scan: only this slice's records
-        buf = _read_file_bytes(path)
-        name_s, name_e, seq_s, seq_e = shard_reads_for_host(
-            buf, nproc, pid)
-        buf2 = seq_s2 = seq_e2 = None
-    n_local = len(seq_s)
-    raw_len = seq_e - seq_s
-    if buf2 is not None:
-        raw_len = raw_len + (seq_e2 - seq_s2) + 1
-    local_max_len = int(raw_len.max(initial=1))
-
-    # lockstep shape agreement: one tiny collective instead of every
-    # process scanning the whole file
-    gmax = _allreduce_max_i64(np.array([local_max_len, n_local]))
-    L = clf._bin_for(int(gmax[0]))
-    max_block = int(gmax[1])
-
-    # 3. lockstep batch count; local rows per batch divisible by the
-    #    per-process slice of the data axis
-    B_local = max(cfg.batch_reads, rows_global // nproc)
-    B_local -= B_local % (rows_global // nproc) or 0
-    n_batches = max(1, -(-max_block // B_local))
-
-    use_native = native.available()
-    written = 0
-    out_p = f"{out_path}.h{pid:03d}" if nproc > 1 else out_path
-    with open(out_p, "wb") as f:
-        sink = CsvSink(f, db, cfg.extended, paired) if use_native else None
-        if pid == 0:
-            # shard files concatenate in rank order to one valid CSV
-            if use_native:
-                sink.write_header()
-            else:
-                cols = ["Object_ID"]
-                if cfg.extended:
-                    cols += db.target_names[1:]
-                cols += HEADER_TAIL
-                f.write((",".join(cols) + "\n").encode())
-
-        def flush(item):
-            nonlocal written
-            results_dev, labels_dev, ns, ne, lengths, cnt = item
-            results = ShardedClassifier.local_rows(results_dev, cnt)
-            labels_np = (ShardedClassifier.local_rows(labels_dev, cnt)
-                         if labels_dev is not None else None)
-            if use_native:
-                sink.flush(results, labels_np, buf, ns, ne, lengths, cnt)
-                written = sink.total_rows
-            else:
-                names = fast_parse.names_of(buf, ns, ne)
-                for row in clf._emit_np(results, labels_np, names,
-                                        lengths, cnt, paired):
-                    f.write(format_row(row, db.target_names,
-                                       cfg.extended).encode())
-                    written += 1
-
-        def batches():
-            """Lockstep local wire batches: ((p2, vb), ns, ne, lengths,
-            cnt) — empty ranks still emit all-padding batches."""
-            W2, WV = L // 4, L // 8
-            for b in range(n_batches):
-                blo = min(b * B_local, n_local)
-                bhi = min(blo + B_local, n_local)
-                cnt = bhi - blo
-                if cnt and paired:
-                    # fused mate1+N+mate2 wire packing; n_rows=B_local
-                    # pads the ragged final batch for lockstep
-                    p2, vb, lengths = fast_parse.pack_block2_paired_dispatch(
-                        buf, seq_s[blo:bhi], seq_e[blo:bhi],
-                        buf2, seq_s2[blo:bhi], seq_e2[blo:bhi], L,
-                        n_rows=B_local)
-                elif cnt:
-                    # fused scan->wire packing (no [R, L] byte matrix)
-                    p2, vb, lengths = fast_parse.pack_block2_dispatch(
-                        buf, seq_s[blo:bhi], seq_e[blo:bhi], L,
-                        n_rows=B_local)
-                else:
-                    p2 = np.zeros((B_local, W2), np.uint8)
-                    vb = np.zeros((B_local, WV), np.uint8)
-                    lengths = np.zeros(B_local, np.int64)
-                yield ((p2, vb), name_s[blo:bhi], name_e[blo:bhi],
-                       lengths, cnt)
-
-        # The writer thread drains flushes in submission order while the
-        # main thread keeps dispatching (single-host parity; numpy/
-        # native formatting release the GIL so the overlap is real).
-        with ThreadPoolExecutor(1) as writer:
-            futs = deque()
-
-            def submit(item):
-                futs.append(writer.submit(flush, item))
-                while len(futs) > 3:
-                    futs.popleft().result()
-
-            if clf.stream_parts > 1:
-                group = []
-                for wire, ns, ne, lengths, cnt in batches():
-                    group.append((wire, ns, ne, lengths, cnt))
-                    if len(group) >= cfg.stream_group:
-                        outs = clf._stream_group_dev(
-                            [w for w, _, _, _, _ in group])
-                        for (_, ns_g, ne_g, len_g, cnt_g), (r, lab) in zip(
-                                group, outs):
-                            submit((r, lab, ns_g, ne_g, len_g, cnt_g))
-                        group = []
-                if group:
-                    outs = clf._stream_group_dev(
-                        [w for w, _, _, _, _ in group])
-                    for (_, ns_g, ne_g, len_g, cnt_g), (r, lab) in zip(
-                            group, outs):
-                        submit((r, lab, ns_g, ne_g, len_g, cnt_g))
-            else:
-                inflight = deque()
-                for (p2, vb), ns, ne, lengths, cnt in batches():
-                    results_dev, labels_dev = sc.step_packed(p2, vb)
-                    from cuclark_tpu.pipeline import _shard_prefetch
-
-                    _shard_prefetch(results_dev, labels_dev)
-                    inflight.append((results_dev, labels_dev, ns, ne,
-                                     lengths, cnt))
-                    if len(inflight) > 3:
-                        submit(inflight.popleft())
-                while inflight:
-                    submit(inflight.popleft())
-            while futs:
-                futs.popleft().result()
-    if pid == 0 and use_native:
-        sink.print_hit_stats()
-    return written
+    return GlobalClassifier(db, cfg, num_db=num_db,
+                            mesh=mesh).classify_file_to_csv(
+        path, out_path, paired_path)

@@ -85,8 +85,12 @@ def run_subprocess(total_mb: int, ram_mb: int):
     env["BUILD_BENCH_MB"] = str(total_mb)
     env["BUILD_BENCH_RAM_MB"] = str(ram_mb)
     repo = str(Path(__file__).resolve().parent.parent)
-    env["PYTHONPATH"] = (repo + os.pathsep + env["PYTHONPATH"]
-                         if env.get("PYTHONPATH") else repo)
+    # host-only work: drop the remote-TPU site (its runtime maps tens
+    # of GB of shared buffers into the child, burying the RSS number)
+    extra = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + extra)
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, str(Path(__file__).resolve())],
         env=env, capture_output=True, text=True, timeout=3600)
