@@ -400,3 +400,40 @@ def test_two_process_streaming_tiny_budget(tmp_path):
     merged = ((tmp_path / "mp.csv.h000").read_bytes()
               + (tmp_path / "mp.csv.h001").read_bytes())
     assert merged == (tmp_path / "plain.csv").read_bytes()
+
+
+def test_global_classifier_engine_reuse(tmp_path):
+    """One GlobalClassifier serves several input files (the table
+    upload/trace happens once); outputs match per-file one-shot runs."""
+    import random
+
+    import jax
+
+    from cuclark_tpu.config import ClassifyConfig, DBConfig
+    from cuclark_tpu.db_build.builder import build_db
+    from cuclark_tpu.parallel import multihost
+    from cuclark_tpu.parallel.mesh import make_global_mesh
+
+    rng = random.Random(99)
+    g = "".join(rng.choice("ACGT") for _ in range(2500))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    db = build_db([(str(tmp_path / "g.fa"), "T1")], DBConfig(k=21))
+    files = []
+    for fi in range(3):
+        reads = [(f"f{fi}r{i}", g[(p := rng.randrange(0, 2300)): p + 90])
+                 for i in range(11 + fi)]
+        fq = tmp_path / f"r{fi}.fq"
+        fq.write_text("".join(f"@{n}\n{s}\n+\n{'I' * len(s)}\n"
+                              for n, s in reads))
+        files.append((fq, len(reads)))
+
+    mesh = make_global_mesh(2, devices=jax.devices()[:8])
+    cfg = ClassifyConfig(batch_reads=8)
+    engine = multihost.GlobalClassifier(db, cfg, num_db=2, mesh=mesh)
+    for fi, (fq, n_reads) in enumerate(files):
+        got = tmp_path / f"got{fi}.csv"
+        assert engine.classify_file_to_csv(fq, got) == n_reads
+        want = tmp_path / f"want{fi}.csv"
+        multihost.classify_file_to_csv(db, cfg, fq, want, num_db=2,
+                                       mesh=mesh)
+        assert got.read_bytes() == want.read_bytes()
