@@ -24,10 +24,36 @@ from pathlib import Path
 import numpy as np
 
 
+def _reset_peak_rss() -> None:
+    """Clear the process's RSS high-water mark (Linux): ru_maxrss is
+    INHERITED across fork+exec, so a subprocess launched from a parent
+    that once held tens of GB would report the parent's peak."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+    except OSError:
+        pass
+
+
+def _peak_rss_gb() -> float:
+    """Current peak RSS: VmHWM (respects _reset_peak_rss) with an
+    ru_maxrss fallback."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:
+        pass
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
 def run(total_mb: int, ram_mb: int, k: int = 31, targets: int = 16,
         workdir=None):
     from cuclark_tpu.config import DBConfig
     from cuclark_tpu.db_build.builder import build_db
+
+    _reset_peak_rss()
 
     rng = np.random.default_rng(0)
     base = np.frombuffer(b"ACGT", np.uint8)
@@ -53,7 +79,7 @@ def run(total_mb: int, ram_mb: int, k: int = 31, targets: int = 16,
         t0 = time.time()
         db = build_db(file_labels, cfg)
         build_s = time.time() - t0
-    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    rss_gb = _peak_rss_gb()
     occ = total_mb * 1e6 - targets * (k - 1)
     table_gb = db.table.nbytes / 1e9
     return {
