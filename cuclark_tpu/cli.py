@@ -54,7 +54,9 @@ def _build_cfg(args) -> DBConfig:
     return DBConfig(k=k, gap=gap, min_count=args.min_freq_target,
                     slots=args.slots, num_choices=args.choices,
                     target_load=args.load, layout=args.layout,
-                    build_ram_mb=getattr(args, "build_ram_mb", 4096))
+                    build_ram_mb=getattr(args, "build_ram_mb", 4096),
+                    widen_for_warm_stash=not getattr(args, "no_widen_stash",
+                                                     False))
 
 
 def cmd_build_db(args) -> int:
@@ -586,6 +588,11 @@ def _add_db_args(p):
                    help="hash choices per key (s2 layout) [2]")
     p.add_argument("--load", type=float, default=0.7,
                    help="target hash load factor [0.7]")
+    p.add_argument("--no-widen-stash", action="store_true",
+                   help="qs: do NOT widen the main table when the "
+                        "Poisson stash would exit the warm gather "
+                        "regime (halves table memory at GB scale, "
+                        "~1.5x slower probes; see BENCHNOTES round 4)")
     p.add_argument("--build-ram-mb", type=int, default=4096,
                    help="host RAM budget for raw k-mer occurrences during "
                         "DB build; larger inputs spill to disk shards and "

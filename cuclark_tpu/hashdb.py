@@ -170,6 +170,11 @@ class KmerDB:
 
     # ---------- persistence ----------
 
+    # Above this, save uncompressed: zlib measures ~43 MB/s on table
+    # bytes (200 s for a widened ladder-3 table) for <1.5x ratio —
+    # worse than the disk it saves.  np.load reads both forms.
+    COMPRESS_MAX_BYTES = int(1.5e9)
+
     def save(self, path: str | Path) -> None:
         meta = {
             "format": "cuclark-tpu-db-v1",
@@ -184,7 +189,10 @@ class KmerDB:
             "stash_bits": self.stash_bits,
             "target_names": self.target_names,
         }
-        np.savez_compressed(
+        saver = (np.savez_compressed
+                 if self.table.nbytes <= self.COMPRESS_MAX_BYTES
+                 else np.savez)
+        saver(
             path,
             table=self.table,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),

@@ -154,3 +154,16 @@ def test_sfactor_range_rejected(demo, capsys):
                "-s", "31"])
     assert rc == 1
     assert "[2,30]" in capsys.readouterr().err
+
+
+def test_no_widen_stash_flag():
+    """--no-widen-stash flows into DBConfig.widen_for_warm_stash."""
+    import argparse
+
+    from cuclark_tpu.cli import _build_cfg
+
+    base = dict(k=31, gap=1, min_freq_target=0, slots=2, choices=2,
+                load=0.7, layout="qs", light=False)
+    on = _build_cfg(argparse.Namespace(**base, no_widen_stash=False))
+    off = _build_cfg(argparse.Namespace(**base, no_widen_stash=True))
+    assert on.widen_for_warm_stash and not off.widen_for_warm_stash
