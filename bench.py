@@ -276,7 +276,8 @@ def main():
             jnp.asarray(big).block_until_ready()
             t_h = min(t_h, time.time() - t0)
         blk["h2d_mb_per_s"] = round(h2d_mb / t_h, 1)
-        groups = -(-s_reads // (chunk * clf.cfg.stream_group))
+        blk["stream_group"] = clf.stream_group_eff
+        groups = -(-s_reads // (chunk * clf.stream_group_eff))
         blk["upload_gb_per_pass"] = round(
             groups * main_np.nbytes / 1e9, 2)
         blk["upload_bound_s"] = round(

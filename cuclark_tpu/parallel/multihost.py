@@ -185,6 +185,7 @@ class GlobalClassifier:
             clf._stash_part = None
             clf._mesh_part_step = None
             clf._mesh_part_step_stash = None
+            clf.stream_group_eff = clf._effective_stream_group()
         else:
             self.sc = ShardedClassifier(db, mesh,
                                         with_labels=cfg.extended,
@@ -328,7 +329,7 @@ class GlobalClassifier:
                     group = []
                     for wire, ns, ne, lengths, cnt in batches():
                         group.append((wire, ns, ne, lengths, cnt))
-                        if len(group) >= cfg.stream_group:
+                        if len(group) >= clf.stream_group_eff:
                             flush_group(group)
                             group = []
                     if group:

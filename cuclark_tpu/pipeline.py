@@ -234,6 +234,7 @@ class Classifier:
         self._sharded = None
         self.mesh = None
         self.stash = None  # qs split mode: resident stash device array
+        self.stream_group_eff = self.cfg.stream_group
         # Effective per-device budget: explicit --max-table-mb, else the
         # measured device HBM (reference free-VRAM probe + RESERVED,
         # src/CuClarkDB.cu:540-574); None = unbounded (CPU hosts).
@@ -258,6 +259,7 @@ class Classifier:
                 self._stash_part = None  # uploaded lazily
                 self._mesh_part_step = None  # built lazily
                 self._mesh_part_step_stash = None
+                self.stream_group_eff = self._effective_stream_group()
                 return
             from cuclark_tpu.parallel.mesh import ShardedClassifier
 
@@ -277,10 +279,33 @@ class Classifier:
             self.np_stash = (np.ascontiguousarray(stash_np)
                              if stash_np is not None else None)
             self._stash_part = None  # uploaded lazily
+            self.stream_group_eff = self._effective_stream_group()
         else:
             self.table = jnp.asarray(main_np)
             self.stash = (jnp.asarray(stash_np)
                           if stash_np is not None else None)
+
+    def _effective_stream_group(self) -> int:
+        """Batch-group size for DB-part streaming: at least
+        cfg.stream_group, grown to fill the device's free memory with
+        on-device label accumulators so the table restreams as rarely
+        as possible.  The reference re-queries ALL prepared batches per
+        swap cycle (src/CuCLARK_hh.hh:1766-1774); this is the same idea
+        bounded by HBM.  Sized against the worst-case per-batch
+        footprint (MAX_BATCH_CELLS int32 accumulator + wire bytes), so
+        mixed length bins can never overshoot; CPU/unknown devices keep
+        the configured value."""
+        from cuclark_tpu.memplan import device_memory_budget_mb
+
+        base = self.cfg.stream_group
+        dev_mb = device_memory_budget_mb()
+        if dev_mb is None:
+            return base
+        per_batch = int(self.MAX_BATCH_CELLS * 4.5)  # acc + wire, bytes
+        part = self.np_table.nbytes // self.stream_parts
+        stash = self.np_stash.nbytes if self.np_stash is not None else 0
+        avail = dev_mb * 1e6 - 2 * part - stash
+        return int(np.clip(avail // per_batch, base, 512))
 
     def _plan_parts(self, main_np, stash_np, num_db: int) -> int:
         """Streaming-part plan honoring the REAL device footprint: in qs
@@ -478,7 +503,7 @@ class Classifier:
             group = []
             for pb in _prefetch(packed()):
                 group.append(pb)
-                if len(group) >= self.cfg.stream_group:
+                if len(group) >= self.stream_group_eff:
                     yield from self._classify_group_streaming(group, paired)
                     group = []
             if group:
@@ -594,7 +619,7 @@ class Classifier:
                     group = []
                     for pb in _prefetch(put_batches()):
                         group.append(pb)
-                        if len(group) >= self.cfg.stream_group:
+                        if len(group) >= self.stream_group_eff:
                             flush_group(group)
                             group = []
                     if group:
@@ -838,7 +863,7 @@ class Classifier:
             if len(batch) == self.cfg.batch_reads:
                 group.append(pack(batch))
                 batch = []
-                if len(group) >= self.cfg.stream_group:
+                if len(group) >= self.stream_group_eff:
                     yield from self._classify_group_streaming(group, paired)
                     group = []
         if batch:
