@@ -209,13 +209,20 @@ def _classify_multiprocess(args, db, cfg) -> int:
     nproc = jax.process_count()
     from cuclark_tpu.memplan import plan_db_axis, resolve_table_budget_mb
 
-    budget_mb = resolve_table_budget_mb(args.max_table_mb)
+    # every process must plan the SAME mesh shape: agree on the global
+    # minimum budget before deriving num_db from it (live per-process
+    # memory stats differ; a divergent mesh would hang the collectives)
+    budget_mb = multihost.agree_budget_mb(
+        resolve_table_budget_mb(args.max_table_mb))
+    if budget_mb is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_table_mb=budget_mb)
     # db axis capped at the PER-PROCESS device count: it keeps the
     # psum on ICI (make_global_mesh requirement) and leaves the data
     # axis divisible by the process count; if the per-device shard
-    # still exceeds the budget, multihost.classify_file_to_csv streams
-    # bucket-range parts on top (cycles x devices x parts,
-    # src/CuClarkDB.cu:540-574).
+    # still exceeds the budget, the engine streams bucket-range parts
+    # on top (cycles x devices x parts, src/CuClarkDB.cu:540-574).
     num_db = plan_db_axis(db.table.nbytes, budget_mb,
                           jax.local_device_count())
     mesh = make_global_mesh(num_db)

@@ -471,6 +471,9 @@ def build_table(
         if cfg.layout == "qs":
             db = None
             sb0 = choose_stash_bits(n, nb_bits)
+            # reject int32-overflowing stash geometry BEFORE the build,
+            # not at first classify (the artifact would be unusable)
+            check_q_bits("qs", nb_bits, min(sb0 + 1, nb_bits))
             for sb in (sb0, sb0 + 1):  # grow the stash before the main
                 for seed in range(2):  # fresh Feistel constants per retry
                     db = _try_build_qs(kmers, labels, target_names, cfg,

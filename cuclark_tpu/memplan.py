@@ -61,8 +61,13 @@ def device_memory_budget_mb(device=None) -> float | None:
     (bytes_reservable_limit preferred over bytes_limit: it excludes
     runtime-reserved regions); platforms that don't get their
     generation's HBM size from device_kind."""
+    import os
+
     import jax
 
+    override = os.environ.get("CUCLARK_DEVICE_MB")
+    if override:  # operator override / test hook
+        return float(override)
     if device is None:
         devs = jax.local_devices()
         if not devs:

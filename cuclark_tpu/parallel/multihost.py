@@ -142,14 +142,15 @@ class GlobalClassifier:
     protocol per file."""
 
     def __init__(self, db, cfg, num_db: int = 1, mesh=None):
+        import dataclasses
+
         import jax
 
         from cuclark_tpu.memplan import resolve_table_budget_mb
-        from cuclark_tpu.parallel.mesh import (ShardedClassifier,
-                                               make_global_mesh)
-        from cuclark_tpu.pipeline import Classifier, DEFAULT_LEN_BINS
+        from cuclark_tpu.parallel.mesh import make_global_mesh
+        from cuclark_tpu.pipeline import Classifier
 
-        self.db, self.cfg = db, cfg
+        self.db = db
         self.nproc = jax.process_count()
         self.pid = jax.process_index()
         if mesh is None:
@@ -161,36 +162,20 @@ class GlobalClassifier:
                              f"{self.nproc} processes")
         self.rows_global = rows_global
 
-        # A bare Classifier shell reuses the scan/bin/emit helpers (and,
-        # in streaming mode, the part-streaming engine) without placing
-        # the table on a device up front.
-        clf = Classifier.__new__(Classifier)
-        clf.db, clf.cfg = db, cfg
-        clf.len_bins = tuple(sorted(DEFAULT_LEN_BINS))
-        clf.mesh = mesh
-        clf._sharded = None
-        clf.table_budget_mb = resolve_table_budget_mb(cfg.max_table_mb)
-        main_np, stash_np = db.split_tables()
-        clf.stream_parts = clf._plan_parts(main_np, stash_np,
-                                           mesh.shape["db"])
-        self.sc = None
-        if clf.stream_parts > 1:
-            # mesh + streaming composition: resident per-device shards
-            # would exceed the budget, so main bucket-range parts stream
-            # host->mesh per batch group (reference swap cycles,
-            # src/CuClarkDB.cu:813-858)
-            clf.np_table = np.ascontiguousarray(main_np)
-            clf.np_stash = (np.ascontiguousarray(stash_np)
-                            if stash_np is not None else None)
-            clf._stash_part = None
-            clf._mesh_part_step = None
-            clf._mesh_part_step_stash = None
-            clf.stream_group_eff = clf._effective_stream_group()
-        else:
-            self.sc = ShardedClassifier(db, mesh,
-                                        with_labels=cfg.extended,
-                                        multihost=True)
+        # Lockstep requirement: every process must derive the SAME
+        # memory plan.  Pin the budget to the global minimum before any
+        # planning happens (live per-process memory stats differ).
+        budget = agree_budget_mb(resolve_table_budget_mb(cfg.max_table_mb))
+        if budget is not None and budget != cfg.max_table_mb:
+            cfg = dataclasses.replace(cfg, max_table_mb=budget)
+        self.cfg = cfg
+        clf = Classifier(db, cfg, mesh=mesh, multihost=True)
+        if clf.stream_parts > 1 and self.nproc > 1:
+            # group size derives from live free memory: agree on the min
+            clf.stream_group_eff = int(_allreduce_min_i64(
+                np.array([clf.stream_group_eff]))[0])
         self.clf = clf
+        self.sc = clf._sharded  # None in streaming mode
         self.stream_parts = clf.stream_parts
 
     def classify_file_to_csv(self, path, out_path,
@@ -351,6 +336,29 @@ class GlobalClassifier:
         if pid == 0 and use_native:
             sink.print_hit_stats()
         return written
+
+
+def agree_budget_mb(budget_mb: float | None) -> float | None:
+    """Global MIN of the per-process device memory budgets (None =
+    unbounded).  Memory plans (db axis, stream parts, group sizes) must
+    be IDENTICAL on every process or the lockstep collectives diverge
+    and hang; live per-process memory stats are not — agree on the
+    tightest budget once and derive everything from it."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return budget_mb
+    from jax.experimental import multihost_utils
+
+    inf = float(1 << 60)
+    g = multihost_utils.process_allgather(
+        np.array([budget_mb if budget_mb is not None else inf]))
+    m = float(np.asarray(g).min())
+    return None if m >= inf else m
+
+
+def _allreduce_min_i64(values: np.ndarray) -> np.ndarray:
+    return -_allreduce_max_i64(-np.asarray(values, np.int64))
 
 
 def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,

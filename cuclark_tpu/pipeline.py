@@ -224,7 +224,8 @@ class Classifier:
     """Holds the device-resident DB and runs batched classification."""
 
     def __init__(self, db: KmerDB, cfg: ClassifyConfig | None = None,
-                 len_bins=DEFAULT_LEN_BINS, mesh=None):
+                 len_bins=DEFAULT_LEN_BINS, mesh=None,
+                 multihost: bool = False):
         from cuclark_tpu.memplan import resolve_table_budget_mb
 
         self.db = db
@@ -264,7 +265,8 @@ class Classifier:
             from cuclark_tpu.parallel.mesh import ShardedClassifier
 
             self._sharded = ShardedClassifier(
-                db, mesh, with_labels=self.cfg.extended)
+                db, mesh, with_labels=self.cfg.extended,
+                multihost=multihost)
             self.table = self._sharded.table
             return
         # DB streaming decision (reference swap-cycle analog): if the
@@ -302,24 +304,37 @@ class Classifier:
         if dev_mb is None:
             return base
         per_batch = int(self.MAX_BATCH_CELLS * 4.5)  # acc + wire, bytes
-        part = self.np_table.nbytes // self.stream_parts
-        stash = self.np_stash.nbytes if self.np_stash is not None else 0
+        # PER-DEVICE residency: on a db-mesh each device holds only its
+        # row shard of a part (and of the stash)
+        num_db = self.mesh.shape["db"] if self.mesh is not None else 1
+        part = self.np_table.nbytes // self.stream_parts // num_db
+        stash = (self.np_stash.nbytes // num_db
+                 if self.np_stash is not None else 0)
         avail = dev_mb * 1e6 - 2 * part - stash
         return int(np.clip(avail // per_batch, base, 512))
 
     def _plan_parts(self, main_np, stash_np, num_db: int) -> int:
-        """Streaming-part plan honoring the REAL device footprint: in qs
-        split mode the stash stays resident on top of the streamed part
-        (plus its double buffer), so its bytes come off the budget and
-        only the main rows are planned against it."""
+        """Streaming-part plan honoring the REAL device footprint: the
+        part uploads are double-buffered (part p+1 transfers while part
+        p computes, so TWO parts are resident at once) and in qs split
+        mode the stash stays resident on top — both come off the budget
+        and only the main rows are planned against the rest."""
         from cuclark_tpu.memplan import plan_stream_parts
 
         budget = self.table_budget_mb
-        if budget is not None and stash_np is not None:
-            left = budget - stash_np.nbytes / num_db / 1e6
-            # stash alone past the stated budget: the plan is infeasible
-            # either way; keep the unadjusted budget (best effort)
-            budget = left if left > 0 else budget
+        if budget is not None:
+            if stash_np is not None:
+                left = budget - stash_np.nbytes / num_db / 1e6
+                # stash alone past the stated budget: the plan is
+                # infeasible either way; keep the unadjusted budget
+                # (best effort)
+                budget = left if left > 0 else budget
+            # halve for the double-buffered part uploads — but only
+            # when streaming is needed at all (a resident table has no
+            # double buffer)
+            if plan_stream_parts(main_np.nbytes, budget, num_db,
+                                 main_np.shape[0]) > 1:
+                budget = budget / 2
         return plan_stream_parts(main_np.nbytes, budget, num_db,
                                  main_np.shape[0])
 

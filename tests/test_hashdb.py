@@ -135,11 +135,14 @@ def test_plan_parts_subtracts_resident_stash():
     clf = Classifier.__new__(Classifier)
     main = np.zeros((6_250_000, 8), np.uint32)   # 200 MB
     stash = np.zeros((1_250_000, 8), np.uint32)  # 40 MB resident
+    clf.mesh = None
     clf.table_budget_mb = 100.0
-    # without the stash: 200 MB / 2 parts = 100 MB fits the budget
-    assert clf._plan_parts(main, None, 1) == 2
-    # with a 40 MB resident stash only 60 MB remains: 4 parts needed
-    assert clf._plan_parts(main, stash, 1) == 4
+    # without the stash: double-buffered uploads leave 50 MB per part
+    # -> 200 MB / 4 parts
+    assert clf._plan_parts(main, None, 1) == 4
+    # a 40 MB resident stash leaves 60 MB, halved for the double
+    # buffer: 30 MB per part -> 8 parts
+    assert clf._plan_parts(main, stash, 1) == 8
 
 
 def test_widen_for_warm_stash():

@@ -437,3 +437,72 @@ def test_global_classifier_engine_reuse(tmp_path):
         multihost.classify_file_to_csv(db, cfg, fq, want, num_db=2,
                                        mesh=mesh)
         assert got.read_bytes() == want.read_bytes()
+
+
+def test_two_process_divergent_budgets_agree(tmp_path):
+    """Processes whose live memory budgets DIFFER must agree on one
+    memory plan (global min) instead of dispatching divergent
+    collectives and hanging; outputs stay byte-identical."""
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys
+
+    from cuclark_tpu.cli import main
+
+    rng = random.Random(41)
+    g = "".join(rng.choice("ACGT") for _ in range(2500))
+    (tmp_path / "g.fa").write_text(f">g\n{g}\n")
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/g.fa T1\n")
+    reads = []
+    for i in range(27):
+        pos = rng.randrange(0, 2300)
+        reads.append((f"r{i}", g[pos: pos + 100]))
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    main(["classify", "-D", str(tmp_path / "db"),
+          "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "plain.csv")])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from cuclark_tpu.cli import main; "
+        "raise SystemExit(main(sys.argv[1:]))"
+    )
+    out_csv = tmp_path / "mp.csv"
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        # rank 0 "sees" 2 MB of device memory, rank 1 sees 5 MB: the
+        # agreed plan must be the min (2 MB -> streaming) on BOTH
+        env["CUCLARK_DEVICE_MB"] = "2" if rank == 0 else "5"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", driver,
+             "classify", "-D", str(tmp_path / "db"),
+             "-O", str(tmp_path / "r.fq"), "-R", str(out_csv),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(rank),
+             "-b", "16"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, err.decode(errors="replace")[-2000:]
+    merged = ((tmp_path / "mp.csv.h000").read_bytes()
+              + (tmp_path / "mp.csv.h001").read_bytes())
+    assert merged == (tmp_path / "plain.csv").read_bytes()
