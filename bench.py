@@ -137,18 +137,47 @@ def main():
             times.append(time.time() - t0)
         return n / min(times), min(times)
 
-    def synth_db(num_kmers, num_targets, load, kcfg=None):
-        km = rng.integers(0, 1 << 62, size=int(num_kmers * 1.05),
-                          dtype=np.uint64)
-        kk = (kcfg or DBConfig(k=k)).k
-        km = np.unique(codec.canonical_np(km, kk))[:num_kmers]
-        labels = rng.integers(1, num_targets + 1,
-                              size=len(km)).astype(np.uint32)
+    def synth_db(num_kmers, num_targets, load, kcfg=None, cache_tag=None):
+        """cache_tag: persist/reuse the built synthetic DB on disk —
+        the 256M-kmer gen+build costs ~4 min and is identical across
+        runs (seeded rng); only construction is skipped, never a
+        measurement.  db_build_s < 0 marks a cache hit."""
+        from pathlib import Path as _P
+
+        from cuclark_tpu.hashdb import KmerDB
+
+        cfg = kcfg or DBConfig(k=k, target_load=load)
+        cache = None
+        if cache_tag and int(os.environ.get("CUCLARK_BENCH_CACHE", 1)):
+            import tempfile as _tf
+
+            cache = (_P(_tf.gettempdir())
+                     / f"cuclark_bench_{cache_tag}_{num_kmers}"
+                       f"_{num_targets}_{cfg.k}.npz")
+            if cache.exists():
+                try:
+                    return KmerDB.load(cache), -1.0
+                except Exception:
+                    cache.unlink()
+        # dedicated, config-seeded rng: a cache hit skips the draws, so
+        # using the shared stream would shift every later block's
+        # randomness depending on cache state
+        rng_db = np.random.default_rng((num_kmers, num_targets, cfg.k))
+        km = rng_db.integers(0, 1 << 62, size=int(num_kmers * 1.05),
+                             dtype=np.uint64)
+        km = np.unique(codec.canonical_np(km, cfg.k))[:num_kmers]
+        labels = rng_db.integers(1, num_targets + 1,
+                                 size=len(km)).astype(np.uint32)
         names = ["NA"] + [f"T{i}" for i in range(1, num_targets + 1)]
         t0 = time.time()
-        cfg = kcfg or DBConfig(k=k, target_load=load)
         db = build_table(km, labels, names, cfg)
-        return db, time.time() - t0
+        dt = time.time() - t0
+        if cache is not None:
+            try:
+                db.save(cache)
+            except Exception:
+                pass
+        return db, dt
 
     def step_block(db, build_s, n_label):
         """Device-step measurement on the production probe mode."""
@@ -354,7 +383,8 @@ def main():
     # --- ladder 3 literal point: the ~4 GB DB (256M k-mers) ---
     if g4_kmers:
         _log(f"scale4g: building {g4_kmers} kmers (widened qs table)")
-        db4, build4 = synth_db(g4_kmers, scale_targets, 0.85)
+        db4, build4 = synth_db(g4_kmers, scale_targets, 0.85,
+                               cache_tag="4g")
         _log("scale4g warmup compile")
         _, blk4 = step_block(db4, build4, "scale4g")
         blk4["n_targets"] = scale_targets
