@@ -4,6 +4,11 @@
 # download_data_newest.sh.
 #
 # Usage: download_genomes.sh <dest_dir> <domain>   (e.g. bacteria, viral)
+#
+# The reference's THIRD variant (legacy download_data.sh, pre-2014
+# NCBI /genomes/Bacteria archive layout) is deliberately not ported:
+# that FTP layout no longer exists, so a faithful port could never
+# run; this script + download_genomes_release.sh cover its role.
 set -euo pipefail
 
 DEST="${1:?usage: download_genomes.sh <dest_dir> <domain>}"
