@@ -126,6 +126,11 @@ def cmd_classify(args) -> int:
                          max_table_mb=args.max_table_mb)
 
     if args.num_processes or args.coordinator:
+        if args.resume:
+            print("warning: --resume is not supported on the "
+                  "multi-process global-mesh path (per-process record "
+                  "blocks shift as shards fill); re-running the file "
+                  "from the start.", file=sys.stderr)
         return _classify_multiprocess(args, db, cfg)
     mesh = _choose_mesh(args.devices, db, args.max_table_mb)
     if mesh is not None:
