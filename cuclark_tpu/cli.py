@@ -123,7 +123,8 @@ def cmd_classify(args) -> int:
     db = KmerDB.load(dbp, sample_factor=args.sfactor)
     cfg = ClassifyConfig(batch_reads=args.batch, extended=args.extended,
                          sample_factor=args.sfactor,
-                         max_table_mb=args.max_table_mb)
+                         max_table_mb=args.max_table_mb,
+                         stream_group=getattr(args, "stream_group", 8))
 
     if args.num_processes or args.coordinator:
         if args.resume:
@@ -683,6 +684,10 @@ def main(argv=None) -> int:
                         "tables stream in bucket-range parts (swap-cycle "
                         "analog) [default: probed from the device's free "
                         "HBM minus a reserve]")
+    c.add_argument("--stream-group", type=int, default=8,
+                   help="minimum batches classified per DB-part upload "
+                        "cycle when streaming; auto-grows to fill free "
+                        "device memory [8]")
     c.add_argument("--resume", action="store_true",
                    help="append to an existing result CSV, skipping reads "
                         "already classified (crash recovery)")
