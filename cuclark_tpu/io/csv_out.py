@@ -21,14 +21,19 @@ HEADER_TAIL = ["Length", "Gamma", "1st_assignment", "score1",
                "2nd_assignment", "score2", "confidence"]
 
 
+def header_line(target_names, extended: bool = False) -> str:
+    """The one header-string builder every writer shares."""
+    cols = ["Object_ID"]
+    if extended:
+        cols += target_names[1:]
+    cols += HEADER_TAIL
+    return ",".join(cols) + "\n"
+
+
 def write_results(out_path, rows, target_names, extended: bool = False):
     """rows: iterable of dicts from Classifier.classify_records."""
     with open(out_path, "w") as f:
-        cols = ["Object_ID"]
-        if extended:
-            cols += target_names[1:]
-        cols += HEADER_TAIL
-        f.write(",".join(cols) + "\n")
+        f.write(header_line(target_names, extended))
         for row in rows:
             f.write(format_row(row, target_names, extended))
 

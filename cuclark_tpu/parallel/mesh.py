@@ -74,7 +74,11 @@ def make_global_mesh(num_db: int = 1, devices=None) -> Mesh:
     record blocks concatenate in rank order).  num_db must divide the
     per-process device count so the 'db' axis (and its psum) stays
     within ICI rows; db > local devices would put the reduction on DCN,
-    which works but should be a deliberate choice."""
+    which works but should be a deliberate choice.  The one allowed
+    host-spanning case (num_db == total devices, data axis 1) serves
+    replicated-read ShardedClassifier use; the lockstep
+    multihost.GlobalClassifier engine needs data divisible by the
+    process count and rejects it."""
     import jax as _jax
 
     devices = list(devices if devices is not None else _jax.devices())

@@ -65,7 +65,11 @@ def align_to_fastq_record(buf: np.ndarray, offset: int) -> int:
     reference's lookahead heuristic (src/CuCLARK_hh.hh:1405-1471): among
     upcoming newline-following lines, a line starting with '@' whose
     line-after-next starts with '+' is a record header (quality lines
-    may also start with '@', but never two rows before a '+')."""
+    may also start with '@', but never two rows before a '+').  A
+    candidate whose '+' line cannot be verified (fewer than 3 lines
+    remain) cannot begin a COMPLETE 4-line record either, so it is
+    never accepted on faith — a final quality line starting with '@'
+    (Q31) near a shard boundary must not be mistaken for a header."""
     n = len(buf)
     if offset == 0:
         return 0
@@ -76,17 +80,15 @@ def align_to_fastq_record(buf: np.ndarray, offset: int) -> int:
         i += 1
     starts = []
     j = i
-    while j < n and len(starts) < 8:
+    while j < n and len(starts) < 12:
         starts.append(j)
         while j < n and buf[j] != ord("\n"):
             j += 1
         j += 1
     for idx, s in enumerate(starts):
-        if buf[s] == ord("@"):
-            if idx + 2 < len(starts) and buf[starts[idx + 2]] == ord("+"):
-                return s
-            if idx + 2 >= len(starts):  # near EOF
-                return s
+        if (buf[s] == ord("@") and idx + 2 < len(starts)
+                and buf[starts[idx + 2]] == ord("+")):
+            return s
     return n
 
 
@@ -158,8 +160,12 @@ class GlobalClassifier:
         self.mesh = mesh
         rows_global = mesh.shape["data"]
         if rows_global % self.nproc:
-            raise ValueError(f"data axis {rows_global} not divisible by "
-                             f"{self.nproc} processes")
+            raise ValueError(
+                f"data axis {rows_global} not divisible by {self.nproc} "
+                f"processes: the lockstep engine feeds per-process data "
+                f"rows, so num_db must not exceed the per-process device "
+                f"count (the host-spanning num_db == total-devices mesh "
+                f"is for replicated-read ShardedClassifier use only)")
         self.rows_global = rows_global
 
         # Lockstep requirement: every process must derive the SAME
@@ -187,7 +193,7 @@ class GlobalClassifier:
 
         from cuclark_tpu import native
         from cuclark_tpu.io import fast_parse
-        from cuclark_tpu.io.csv_out import HEADER_TAIL, format_row
+        from cuclark_tpu.io.csv_out import format_row, header_line
         from cuclark_tpu.parallel.mesh import ShardedClassifier
         from cuclark_tpu.pipeline import (CsvSink, _read_file_bytes,
                                           _shard_prefetch)
@@ -221,9 +227,18 @@ class GlobalClassifier:
         max_block = int(gmax[1])
 
         # 3. lockstep batch count; local rows per batch divisible by the
-        #    per-process slice of the data axis
-        B_local = max(cfg.batch_reads, self.rows_global // nproc)
-        B_local -= B_local % (self.rows_global // nproc) or 0
+        #    per-process slice of the data axis, and capped by the
+        #    device cell budget (long-read batches shrink instead of
+        #    exploding the padded arrays, exactly like the single-host
+        #    shrink loop — L is agreed, so the cap is identical on
+        #    every rank)
+        from cuclark_tpu.pipeline import Classifier as _Clf
+
+        step = self.rows_global // nproc
+        B_local = max(cfg.batch_reads, step)
+        B_local -= B_local % step or 0
+        cap = max(step, _Clf.MAX_BATCH_CELLS // L // step * step)
+        B_local = min(B_local, cap)
         n_batches = max(1, -(-max_block // B_local))
 
         use_native = native.available()
@@ -237,11 +252,8 @@ class GlobalClassifier:
                 if use_native:
                     sink.write_header()
                 else:
-                    cols = ["Object_ID"]
-                    if cfg.extended:
-                        cols += db.target_names[1:]
-                    cols += HEADER_TAIL
-                    f.write((",".join(cols) + "\n").encode())
+                    f.write(header_line(db.target_names,
+                                        cfg.extended).encode())
 
             def flush(item):
                 nonlocal written

@@ -158,13 +158,10 @@ class CsvSink:
         self.hstats = [None, 0, 0]  # min, max, sum of distinct hit targets
 
     def write_header(self) -> None:
-        from cuclark_tpu.io.csv_out import HEADER_TAIL
+        from cuclark_tpu.io.csv_out import header_line
 
-        cols = ["Object_ID"]
-        if self.extended:
-            cols += self.db.target_names[1:]
-        cols += HEADER_TAIL
-        self.f.write((",".join(cols) + "\n").encode())
+        self.f.write(header_line(self.db.target_names,
+                                 self.extended).encode())
 
     def flush(self, results, labels_np, buf, ns, ne, lengths, cnt) -> None:
         """Format + write one batch: results [R,5] np, labels_np [R,P]
@@ -397,6 +394,7 @@ class Classifier:
 
         buf = _read_file_bytes(path)
         rec_lo = 0
+        n1_total = None  # full record count of file 1 (paired check)
         if num_hosts > 1 and paired_path is None:
             from cuclark_tpu.parallel import multihost
 
@@ -404,6 +402,7 @@ class Classifier:
                 buf, num_hosts, host_id)
         else:
             name_s, name_e, seq_s, seq_e = fast_parse.scan_file(buf)
+            n1_total = len(name_s)
             if num_hosts > 1:
                 # paired mode shards by record index so both mate files
                 # stay aligned
@@ -422,10 +421,12 @@ class Classifier:
             # mergePairedFiles parity (src/file.cc:205-268): hard error
             # on differing record counts or mismatched mate ids instead
             # of silently zipping by order.
-            if num_hosts == 1 and skip == 0 and len(seq_s) != len(seq_s2):
+            if n1_total is not None and n1_total != len(seq_s2):
+                # compare FULL file counts so truncation hard-errors on
+                # sharded/resumed runs too, not only single-host ones
                 raise ValueError(
                     f"paired files have different record counts: "
-                    f"{path} has {len(seq_s)}, {paired_path} has "
+                    f"{path} has {n1_total}, {paired_path} has "
                     f"{len(seq_s2)}")
             bad = fast_parse.first_mate_mismatch(
                 buf, name_s, name_e,
@@ -785,9 +786,14 @@ class Classifier:
                                      cnt, paired)
 
     def _bin_for_range(self, buf, s, e, buf2, s2, e2) -> int:
-        mx = int((e - s).max(initial=1))
         if buf2 is not None:
-            mx += int((e2 - s2).max(initial=0)) + 1
+            # max of the PER-RECORD combined lengths — the same metric
+            # the MAX_BATCH_CELLS shrink loop uses; summing separate
+            # maxima could pick a bin up to 2x larger and overshoot the
+            # cell cap when mate lengths vary
+            mx = int(((e - s) + (e2 - s2) + 1).max(initial=1))
+        else:
+            mx = int((e - s).max(initial=1))
         return max(self._bin_for(mx), self.db.k)
 
     def _emit(self, results_dev, labels_dev, names, lengths, count,
@@ -828,6 +834,24 @@ class Classifier:
 
     # ---------- record-iterator path ----------
 
+    def _record_batches(self, records):
+        """Group records into batches honoring BOTH caps: count
+        (batch_reads) and padded cells (MAX_BATCH_CELLS) — long records
+        shrink the batch instead of exploding the padded device arrays,
+        matching the file path's shrink loop."""
+        batch, max_len = [], 1
+        for rec in records:
+            new_max = max(max_len, len(rec[1]), 1)
+            if batch and (len(batch) >= self.cfg.batch_reads
+                          or (len(batch) + 1) * self._bin_for(new_max)
+                          > self.MAX_BATCH_CELLS):
+                yield batch
+                batch, new_max = [], max(len(rec[1]), 1)
+            batch.append(rec)
+            max_len = new_max
+        if batch:
+            yield batch
+
     def classify_records(self, records, paired: bool = False):
         """records: iterable of (name, seq_bytes).
 
@@ -836,15 +860,8 @@ class Classifier:
         if self.stream_parts > 1:
             yield from self._classify_records_streaming(records, paired)
             return
-        batch = []
         inflight = None
-        for rec in records:
-            batch.append(rec)
-            if len(batch) == self.cfg.batch_reads:
-                inflight, out = self._dispatch_batch(batch, inflight, paired)
-                yield from out
-                batch = []
-        if batch:
+        for batch in self._record_batches(records):
             inflight, out = self._dispatch_batch(batch, inflight, paired)
             yield from out
         if inflight is not None:
@@ -871,18 +888,11 @@ class Classifier:
 
     def _classify_records_streaming(self, records, paired: bool):
         group = []
-        pack = self._wire_records
-        batch = []
-        for rec in records:
-            batch.append(rec)
-            if len(batch) == self.cfg.batch_reads:
-                group.append(pack(batch))
-                batch = []
-                if len(group) >= self.stream_group_eff:
-                    yield from self._classify_group_streaming(group, paired)
-                    group = []
-        if batch:
-            group.append(pack(batch))
+        for batch in self._record_batches(records):
+            group.append(self._wire_records(batch))
+            if len(group) >= self.stream_group_eff:
+                yield from self._classify_group_streaming(group, paired)
+                group = []
         if group:
             yield from self._classify_group_streaming(group, paired)
 
@@ -905,12 +915,22 @@ def dense_counts(labels_np: np.ndarray, n_targets: int) -> np.ndarray:
     (src/CuCLARK_hh.hh:2014-2031), built here with ONE bincount over
     the batch instead of a per-read unique loop."""
     R, P = labels_np.shape
-    flat = labels_np.ravel()
-    m = flat > 0
-    rid = np.repeat(np.arange(R, dtype=np.int64), P)[m]
-    key = rid * (n_targets + 1) + flat[m].astype(np.int64)
-    c = np.bincount(key, minlength=R * (n_targets + 1))
-    return c.reshape(R, n_targets + 1).astype(np.uint32)
+    T1 = n_targets + 1
+    out = np.empty((R, T1), np.uint32)
+    # block the rows so the int64 bincount intermediate stays bounded
+    # (~128 MB) even at MTRGTS-scale target sets; the uint32 output is
+    # the inherent cost of extended mode's dense columns
+    block = max(1, (1 << 24) // T1)
+    for lo in range(0, R, block):
+        sub = labels_np[lo:lo + block]
+        r = sub.shape[0]
+        flat = sub.ravel()
+        m = flat > 0
+        rid = np.repeat(np.arange(r, dtype=np.int64), P)[m]
+        key = rid * T1 + flat[m].astype(np.int64)
+        c = np.bincount(key, minlength=r * T1)
+        out[lo:lo + r] = c.reshape(r, T1).astype(np.uint32)
+    return out
 
 
 def _prefetch(gen, depth: int = 2):
@@ -925,24 +945,41 @@ def _prefetch(gen, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up once the consumer is gone, so an
+        # abandoned generator cannot pin the worker thread (and the
+        # file-sized buffers its frames hold) forever
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(_END)
+                if not put(item):
+                    return
+            put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def _read_file_bytes(path) -> np.ndarray:

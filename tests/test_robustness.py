@@ -105,3 +105,73 @@ def test_long_reads_shrink_batches(db, tmp_path):
     got = rows[0]
     assert (got["total"], got["index_best"], got["best"]) == want[:3]
     assert all(r["index_best"] == 2 for r in rows[1:])
+
+
+def test_record_batches_honor_cell_cap(db):
+    """Long records shrink record-iterator batches to the device cell
+    budget instead of exploding the padded arrays (file-path parity)."""
+    db = db[0]
+    clf = Classifier(db, ClassifyConfig(batch_reads=65536))
+    recs = [(f"r{i}", b"ACGT" * 4000) for i in range(64)]  # 16 kb each
+    batches = list(clf._record_batches(iter(recs)))
+    assert sum(len(b) for b in batches) == 64
+    for b in batches:
+        mx = max(len(s) for _, s in b)
+        assert len(b) * clf._bin_for(mx) <= clf.MAX_BATCH_CELLS
+    # short records still reach full batch size
+    short = [(f"s{i}", b"ACGT" * 10) for i in range(100)]
+    clf2 = Classifier(db, ClassifyConfig(batch_reads=50))
+    assert [len(b) for b in clf2._record_batches(iter(short))] == [50, 50]
+
+
+def test_paired_bin_uses_combined_lengths(db):
+    """The paired bin derives from the max per-record COMBINED length
+    (the cell-cap shrink loop's metric), not the sum of separate
+    maxima."""
+    db = db[0]
+    clf = Classifier(db, ClassifyConfig())
+    buf = np.zeros(10000, np.uint8)
+    # record A: mate1 150 + mate2 3800; record B: mate1 3800 + mate2 150
+    s1 = np.array([0, 200]); e1 = s1 + np.array([150, 3800])
+    s2 = np.array([5000, 9000]); e2 = s2 + np.array([3800, 150])
+    L = clf._bin_for_range(buf, s1, e1, buf, s2, e2)
+    # combined max is 3951 -> 4096 bin; the old sum-of-maxima metric
+    # (3800 + 3800 + 1) would have picked 16384
+    assert L == clf._bin_for(3951)
+
+
+def test_paired_truncation_detected_on_sharded_run(db, tmp_path):
+    """A truncated mate-2 file must hard-error on --num-hosts runs too
+    (mergePairedFiles parity), not silently drop the tail."""
+    db = db[0]
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    r1.write_text("".join(f"@p{i}\nACGTACGTACGTACGTACGTACGT\n+\n"
+                          f"{'I' * 24}\n" for i in range(10)))
+    r2.write_text("".join(f"@p{i}\nACGTACGTACGTACGTACGTACGT\n+\n"
+                          f"{'I' * 24}\n" for i in range(7)))  # truncated
+    clf = Classifier(db, ClassifyConfig(batch_reads=4))
+    with pytest.raises(ValueError, match="different record counts"):
+        list(clf.classify_file(r1, r2, num_hosts=2, host_id=1))
+
+
+def test_fastq_align_rejects_at_quality_near_eof():
+    """A final quality line starting with '@' (Q31) near a shard
+    boundary must not be mistaken for a record header: every record is
+    owned by exactly one host even when the boundary lands inside the
+    file's last record."""
+    import numpy as np
+
+    from cuclark_tpu.io import fast_parse
+    from cuclark_tpu.parallel import multihost
+
+    recs = "".join(f"@read{i}\n{'ACGT' * 10}\n+\n{'@' * 40}\n"
+                   for i in range(3))
+    buf = np.frombuffer(recs.encode(), np.uint8)
+    full = fast_parse.names_of(buf, *fast_parse.scan_file(buf)[:2])
+    for num_hosts in (2, 3, 4, 5):
+        got = []
+        for h in range(num_hosts):
+            ns, ne, _, _ = multihost.shard_reads_for_host(buf, num_hosts, h)
+            got.extend(fast_parse.names_of(buf, ns, ne))
+        assert got == full, (num_hosts, got)
