@@ -117,6 +117,62 @@ def shard_reads_for_host(buf: np.ndarray, num_hosts: int, host_id: int):
     return ns + start, ne + start, ss + start, se + start
 
 
+def _align_in_window(path, size: int, pos: int, fmt_fastq: bool,
+                     slack: int) -> int:
+    """Absolute offset of the next record start at/after byte `pos`,
+    reading only a window of the file.  The FASTQ heuristic looks ahead
+    several lines, so a candidate found too close to the window edge is
+    re-checked with a doubled window (a cut-off lookahead must never
+    change the answer vs a whole-file scan)."""
+    if pos <= 0:
+        return 0
+    if pos >= size:
+        return size
+    align = align_to_fastq_record if fmt_fastq else align_to_fasta_record
+    while True:
+        lo = pos - 1  # previous byte needed for the line-start check
+        hi = min(size, pos + slack)
+        w = np.fromfile(path, np.uint8, count=hi - lo, offset=lo)
+        r = align(w, pos - lo)
+        margin = slack // 2 if fmt_fastq else 0
+        if hi >= size or r < len(w) - margin:
+            return min(lo + r, size)
+        slack *= 2
+
+
+def read_host_slice(path, num_hosts: int, host_id: int,
+                    slack: int = 1 << 25):
+    """Read ONLY this host's record slice of a plain file from disk
+    (+ bounded boundary slack) — the per-host byte-range I/O the
+    multi-host design promises (a 16-host pod must not do 16 full-file
+    reads).  Returns (buf_window, name_s, name_e, seq_s, seq_e) with
+    offsets INTO the window.  Gzip streams are not range-addressable
+    and fall back to a full read; partitioning is identical to
+    shard_reads_for_host over the whole buffer."""
+    import os
+
+    from cuclark_tpu.io import fast_parse
+
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head[:2] == b"\x1f\x8b":  # gzip
+        from cuclark_tpu.pipeline import _read_file_bytes
+
+        buf = _read_file_bytes(path)
+        return (buf,) + shard_reads_for_host(buf, num_hosts, host_id)
+    size = os.path.getsize(path)
+    fmt_fastq = head[:1] == b"@"
+    s0, e0 = host_byte_range(size, num_hosts, host_id)
+    start = _align_in_window(path, size, s0, fmt_fastq, slack)
+    end = (size if e0 >= size
+           else _align_in_window(path, size, e0, fmt_fastq, slack))
+    if start >= end:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z, z, z, z
+    w = np.fromfile(path, np.uint8, count=end - start, offset=start)
+    return (w,) + fast_parse.scan_file(w)
+
+
 def _allreduce_max_i64(values: np.ndarray) -> np.ndarray:
     """Global elementwise max of a small int64 vector across processes
     (single-process: identity).  Used to agree on the lockstep shape
@@ -209,10 +265,9 @@ class GlobalClassifier:
             buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
                 clf._scan_for_classify(path, paired_path, 0, nproc, pid))
         else:
-            # per-host byte-range scan: only this slice's records
-            buf = _read_file_bytes(path)
-            name_s, name_e, seq_s, seq_e = shard_reads_for_host(
-                buf, nproc, pid)
+            # per-host byte-range I/O + scan: only this slice's bytes
+            buf, name_s, name_e, seq_s, seq_e = read_host_slice(
+                path, nproc, pid)
             buf2 = seq_s2 = seq_e2 = None
         n_local = len(seq_s)
         raw_len = seq_e - seq_s

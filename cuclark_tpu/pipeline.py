@@ -392,15 +392,16 @@ class Classifier:
         """Scan + shard + align a classify job's input file(s)."""
         from cuclark_tpu.io import fast_parse
 
-        buf = _read_file_bytes(path)
         rec_lo = 0
         n1_total = None  # full record count of file 1 (paired check)
         if num_hosts > 1 and paired_path is None:
             from cuclark_tpu.parallel import multihost
 
-            name_s, name_e, seq_s, seq_e = multihost.shard_reads_for_host(
-                buf, num_hosts, host_id)
+            # per-host byte-range I/O: read only this host's slice
+            buf, name_s, name_e, seq_s, seq_e = multihost.read_host_slice(
+                path, num_hosts, host_id)
         else:
+            buf = _read_file_bytes(path)
             name_s, name_e, seq_s, seq_e = fast_parse.scan_file(buf)
             n1_total = len(name_s)
             if num_hosts > 1:

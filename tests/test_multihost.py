@@ -506,3 +506,56 @@ def test_two_process_divergent_budgets_agree(tmp_path):
     merged = ((tmp_path / "mp.csv.h000").read_bytes()
               + (tmp_path / "mp.csv.h001").read_bytes())
     assert merged == (tmp_path / "plain.csv").read_bytes()
+
+
+@pytest.mark.parametrize("fmt", ["fastq", "fasta"])
+def test_read_host_slice_matches_full_scan(tmp_path, fmt):
+    """Windowed per-host file reads partition records exactly like the
+    in-memory shard over the full buffer, including with a slack small
+    enough to force window growth."""
+    rng = random.Random(61)
+    recs = []
+    for i in range(60):
+        L = rng.randrange(30, 400)
+        seq = "".join(rng.choice("ACGT") for _ in range(L))
+        if fmt == "fastq":
+            qual = ("@" if i % 2 else "+") + "I" * (L - 1)
+            recs.append(f"@r{i} x\n{seq}\n+\n{qual}\n")
+        else:
+            body = "\n".join(seq[j: j + 60] for j in range(0, L, 60))
+            recs.append(f">r{i} d\n{body}\n")
+    data = "".join(recs).encode()
+    p = tmp_path / f"in.{fmt}"
+    p.write_bytes(data)
+    buf = np.frombuffer(data, np.uint8)
+    want = fast_parse.names_of(buf, *fast_parse.scan_file(buf)[:2])
+    for num_hosts in (1, 2, 3, 5):
+        for slack in (1 << 25, 64):  # tiny slack forces window growth
+            got = []
+            for h in range(num_hosts):
+                w, ns, ne, ss, se = multihost.read_host_slice(
+                    str(p), num_hosts, h, slack=slack)
+                got.extend(fast_parse.names_of(w, ns, ne))
+                # seq offsets must be valid within the window
+                assert len(ss) == len(ns)
+                if len(se):
+                    assert int(se.max()) <= len(w)
+            assert got == want, (num_hosts, slack)
+
+
+def test_read_host_slice_gzip_fallback(tmp_path):
+    import gzip
+
+    rng = random.Random(62)
+    recs = "".join(
+        f"@g{i}\n{''.join(rng.choice('ACGT') for _ in range(80))}\n+\n"
+        f"{'I' * 80}\n" for i in range(20))
+    p = tmp_path / "in.fq.gz"
+    p.write_bytes(gzip.compress(recs.encode()))
+    buf = np.frombuffer(recs.encode(), np.uint8)
+    want = fast_parse.names_of(buf, *fast_parse.scan_file(buf)[:2])
+    got = []
+    for h in range(3):
+        w, ns, ne, _, _ = multihost.read_host_slice(str(p), 3, h)
+        got.extend(fast_parse.names_of(w, ns, ne))
+    assert got == want
