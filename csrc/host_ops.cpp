@@ -21,44 +21,59 @@
 extern "C" {
 
 // Base code table: A=3 C=2 G=1 T=0 (reference getKmers encoding,
-// src/kmersConversion.cc:49-68); 4 = invalid.
-static uint8_t LUT[256];
-static bool lut_init = false;
-
-static void init_lut() {
-    if (lut_init) return;
-    memset(LUT, 4, sizeof(LUT));
-    LUT[(int)'A'] = 3; LUT[(int)'a'] = 3;
-    LUT[(int)'C'] = 2; LUT[(int)'c'] = 2;
-    LUT[(int)'G'] = 1; LUT[(int)'g'] = 1;
-    LUT[(int)'T'] = 0; LUT[(int)'t'] = 0;
-    lut_init = true;
+// src/kmersConversion.cc:49-68); 4 = invalid.  Initialized via a
+// function-local static (C++11 thread-safe static init): ctypes calls
+// release the GIL, so two Python threads can race a first use.
+struct BaseLut {
+    uint8_t t[256];
+    BaseLut() {
+        memset(t, 4, sizeof(t));
+        t[(int)'A'] = 3; t[(int)'a'] = 3;
+        t[(int)'C'] = 2; t[(int)'c'] = 2;
+        t[(int)'G'] = 1; t[(int)'g'] = 1;
+        t[(int)'T'] = 0; t[(int)'t'] = 0;
+    }
+};
+static const uint8_t* base_lut() {
+    static const BaseLut lut;
+    return lut.t;
 }
+#define LUT (base_lut())
+#define init_lut() ((void)0)
 
 // Scan a FASTQ buffer: fill per-record offsets.  Returns record count
-// (capped at max_rec).  Name = token after '@' up to space/tab/EOL.
+// (capped at max_rec).  Name = token after '@' up to space/tab/CR/EOL.
+// A trailing record is kept only if its quality line START exists
+// (matching the numpy scanner's 4-newline rule); *consumed receives
+// the byte offset where scanning stopped so the caller can detect
+// malformed input (consumed < n with bytes remaining).
 int64_t scan_fastq(const uint8_t* buf, int64_t n,
                    int64_t* name_s, int64_t* name_e,
-                   int64_t* seq_s, int64_t* seq_e, int64_t max_rec) {
+                   int64_t* seq_s, int64_t* seq_e, int64_t max_rec,
+                   int64_t* consumed) {
     int64_t i = 0, r = 0;
     while (i < n && r < max_rec) {
         if (buf[i] != '@') break;
         int64_t hs = ++i;
-        while (i < n && buf[i] != '\n' && buf[i] != ' ' && buf[i] != '\t') i++;
+        while (i < n && buf[i] != '\n' && buf[i] != ' '
+               && buf[i] != '\t' && buf[i] != '\r') i++;
         int64_t he = i;
         while (i < n && buf[i] != '\n') i++;
         i++;
         int64_t ss = i;
         while (i < n && buf[i] != '\n') i++;
         int64_t se = i;
+        if (se > ss && buf[se - 1] == '\r') se--;  // CRLF sequences
         i++;
         while (i < n && buf[i] != '\n') i++;  // '+' line
         i++;
+        if (i >= n) break;  // no quality line start: drop partial tail
         while (i < n && buf[i] != '\n') i++;  // quality line
         i++;
         name_s[r] = hs; name_e[r] = he; seq_s[r] = ss; seq_e[r] = se;
         r++;
     }
+    if (consumed) *consumed = i < n ? i : n;
     return r;
 }
 
@@ -66,12 +81,14 @@ int64_t scan_fastq(const uint8_t* buf, int64_t n,
 // newlines; the packer drops them.
 int64_t scan_fasta(const uint8_t* buf, int64_t n,
                    int64_t* name_s, int64_t* name_e,
-                   int64_t* seq_s, int64_t* seq_e, int64_t max_rec) {
+                   int64_t* seq_s, int64_t* seq_e, int64_t max_rec,
+                   int64_t* consumed) {
     int64_t i = 0, r = 0;
     while (i < n && buf[i] != '>') i++;
     while (i < n && r < max_rec) {
         int64_t hs = ++i;
-        while (i < n && buf[i] != '\n' && buf[i] != ' ' && buf[i] != '\t') i++;
+        while (i < n && buf[i] != '\n' && buf[i] != ' '
+               && buf[i] != '\t' && buf[i] != '\r') i++;
         int64_t he = i;
         while (i < n && buf[i] != '\n') i++;
         i++;
@@ -83,6 +100,7 @@ int64_t scan_fasta(const uint8_t* buf, int64_t n,
         name_s[r] = hs; name_e[r] = he; seq_s[r] = ss; seq_e[r] = se;
         r++;
     }
+    if (consumed) *consumed = i < n ? i : n;
     return r;
 }
 
@@ -121,9 +139,10 @@ void pack_block(const uint8_t* buf,
 void pack_block2(const uint8_t* buf,
                  const int64_t* seq_s, const int64_t* seq_e, int64_t nrec,
                  uint8_t* packed2, uint8_t* vbits, int64_t Lp,
-                 int64_t* lengths) {
+                 int64_t maxw, int64_t* lengths) {
     init_lut();
     const int64_t W2 = Lp / 4, WV = Lp / 8;
+    if (maxw > Lp) maxw = Lp;
 #pragma omp parallel for schedule(static) if (nrec >= 256)
     for (int64_t r = 0; r < nrec; r++) {
         uint8_t* p2 = packed2 + r * W2;
@@ -134,7 +153,7 @@ void pack_block2(const uint8_t* buf,
         for (int64_t i = seq_s[r]; i < seq_e[r]; i++) {
             uint8_t ch = buf[i];
             if (ch == '\n' || ch == '\r') continue;
-            if (w < Lp) {
+            if (w < maxw) {
                 uint8_t c = LUT[ch];
                 if (c != 4) {
                     p2[w >> 2] |= (uint8_t)(c << ((w & 3) * 2));
@@ -158,9 +177,10 @@ void pack_block2_paired(const uint8_t* buf1,
                         const uint8_t* buf2,
                         const int64_t* s2, const int64_t* e2,
                         int64_t nrec, uint8_t* packed2, uint8_t* vbits,
-                        int64_t Lp, int64_t* lengths) {
+                        int64_t Lp, int64_t maxw, int64_t* lengths) {
     init_lut();
     const int64_t W2 = Lp / 4, WV = Lp / 8;
+    if (maxw > Lp) maxw = Lp;
 #pragma omp parallel for schedule(static) if (nrec >= 256)
     for (int64_t r = 0; r < nrec; r++) {
         uint8_t* p2 = packed2 + r * W2;
@@ -175,7 +195,7 @@ void pack_block2_paired(const uint8_t* buf1,
             for (int64_t i = lo; i < hi; i++) {
                 uint8_t ch = buf[i];
                 if (ch == '\n' || ch == '\r') continue;
-                if (w < Lp) {
+                if (w < maxw) {
                     uint8_t c = LUT[ch];
                     if (c != 4) {
                         p2[w >> 2] |= (uint8_t)(c << ((w & 3) * 2));

@@ -36,7 +36,14 @@ def scan_fastq(buf: np.ndarray):
         z = np.zeros(0, np.int64)
         return z, z, z, z
     line_starts = np.r_[0, nl[:-1] + 1]
-    hdr_s = line_starts[0::4][:n_rec] + 1          # skip '@'
+    hdr0 = line_starts[0::4][:n_rec]
+    ok = buf[np.minimum(hdr0, len(buf) - 1)] == ord("@")
+    if not ok.all():
+        bad = int(hdr0[np.flatnonzero(~ok)[0]])
+        raise ValueError(
+            f"malformed FASTQ record at byte {bad}: line does not "
+            f"start with '@' (remainder would be silently skipped)")
+    hdr_s = hdr0 + 1                               # skip '@'
     hdr_e = nl[0::4][:n_rec]
     seq_s = line_starts[1::4][:n_rec]
     seq_e = nl[1::4][:n_rec]
@@ -59,6 +66,8 @@ def scan_fasta(buf: np.ndarray):
         z = np.zeros(0, np.int64)
         return z, z, z, z
     nl = _newlines(buf)
+    if len(buf) and buf[-1] != ord("\n"):
+        nl = np.r_[nl, len(buf)]  # virtual newline: truncated tail
     hdr_s = starts + 1
     hdr_e = nl[np.searchsorted(nl, starts)]
     seq_s = hdr_e + 1
@@ -68,9 +77,11 @@ def scan_fasta(buf: np.ndarray):
 
 
 def _token_ends(buf, starts, ends):
-    """First space/tab position in [start, end), else end — the
-    reference's separator table (src/CuCLARK_hh.hh:300)."""
-    sep_pos = np.flatnonzero((buf == ord(" ")) | (buf == ord("\t")))
+    """First space/tab/CR position in [start, end), else end — the
+    reference's separator table (src/CuCLARK_hh.hh:300) plus CR so
+    Windows line endings never leak into CSV names."""
+    sep_pos = np.flatnonzero((buf == ord(" ")) | (buf == ord("\t"))
+                             | (buf == ord("\r")))
     if len(sep_pos) == 0:
         return np.asarray(ends).copy()
     i0 = np.searchsorted(sep_pos, starts)
@@ -90,34 +101,40 @@ def pack_block(buf: np.ndarray, seq_s, seq_e, max_len: int,
     must NOT break parts; the packer therefore compacts them away.
     """
     R = n_rows if n_rows is not None else len(seq_s)
-    enc = codec.BASE_LUT[buf]
-    is_nl = (buf == ord("\n")) | (buf == ord("\r"))
-
     seq_s = np.asarray(seq_s, np.int64)
     seq_e = np.asarray(seq_e, np.int64)
-    raw_len = seq_e - seq_s
-
-    # per-record newline counts via prefix sums -> true lengths
-    nl_cs = np.r_[0, np.cumsum(is_nl)]
-    lengths = raw_len - (nl_cs[seq_e] - nl_cs[seq_s])
-
     codes = np.full((R, max_len), codec.INVALID, dtype=np.uint8)
     n = len(seq_s)
     if n == 0:
         return codes, np.zeros(R, np.int64)
+
+    # all whole-buffer passes below run on the batch's byte span only —
+    # per-batch calls over a multi-GB file must not redo file-sized
+    # LUT/newline/cumsum work every time
+    lo_span = int(seq_s.min())
+    sub = buf[lo_span:int(seq_e.max())]
+    seq_s = seq_s - lo_span
+    seq_e = seq_e - lo_span
+    raw_len = seq_e - seq_s
+    enc = codec.BASE_LUT[sub]
+    is_nl = (sub == ord("\n")) | (sub == ord("\r"))
+
+    # per-record newline counts via prefix sums -> true lengths
+    nl_cs = np.r_[0, np.cumsum(is_nl)]
+    lengths = raw_len - (nl_cs[seq_e] - nl_cs[seq_s])
 
     if (raw_len == lengths).all():
         # fast path: no embedded newlines (FASTQ, single-line FASTA)
         L = min(max_len, int(raw_len.max(initial=0)))
         pos = seq_s[:, None] + np.arange(L)[None, :]
         mask = np.arange(L)[None, :] < raw_len[:, None]
-        codes[:n, :L] = np.where(mask, enc[np.minimum(pos, len(buf) - 1)],
+        codes[:n, :L] = np.where(mask, enc[np.minimum(pos, len(sub) - 1)],
                                  codec.INVALID)
     else:
-        # compact newlines away with a global compress, then gather
+        # compact newlines away with a span-local compress, then gather
         keep = ~is_nl
         comp = enc[keep]
-        # map original offset -> compacted offset
+        # map span offset -> compacted offset
         keep_cs = np.r_[0, np.cumsum(keep)]
         cs = keep_cs[seq_s]
         L = min(max_len, int(lengths.max(initial=0)))
@@ -171,8 +188,14 @@ def first_mate_mismatch(buf1, ns1, ne1, buf2, ns2, ne2) -> int:
 
 
 def names_of(buf: np.ndarray, name_s, name_e) -> list[str]:
-    b = buf.tobytes()
-    return [b[s:e].decode("ascii", "replace") for s, e in zip(name_s, name_e)]
+    if len(name_s) == 0:
+        return []
+    # copy only this batch's name span — buf is the whole file, and a
+    # full tobytes() per batch would be O(batches x file_size)
+    lo = int(min(name_s))
+    b = buf[lo:int(max(name_e))].tobytes()
+    return [b[s - lo:e - lo].decode("ascii", "replace")
+            for s, e in zip(name_s, name_e)]
 
 
 def scan_file(buf: np.ndarray):

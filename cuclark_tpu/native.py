@@ -35,18 +35,26 @@ def _build() -> ctypes.CDLL | None:
     tag = hashlib.sha256(src + "\0".join(flags).encode()).hexdigest()[:16]
     cache = Path(tempfile.gettempdir()) / f"cuclark_host_ops_{tag}.so"
     if not cache.exists():
-        tmp = cache.with_suffix(".tmp.so")
+        # per-process temp name: concurrent first-use builds (parallel
+        # CLI runs / multi-process hosts) must not interleave writes
+        # into one file and publish a corrupt library
+        tmp = cache.with_suffix(f".tmp{os.getpid()}.so")
         cmd = flags + [str(_SRC), "-o", str(tmp)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (subprocess.SubprocessError, FileNotFoundError):
+            os.replace(tmp, cache)  # atomic publish
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            tmp.unlink(missing_ok=True)
             return None
-        os.replace(tmp, cache)
-    lib = ctypes.CDLL(str(cache))
+    try:
+        lib = ctypes.CDLL(str(cache))
+    except OSError:  # corrupt/unreadable cache: degrade to numpy
+        return None
 
     lib.scan_fastq.restype = ctypes.c_int64
     lib.scan_fastq.argtypes = [_U8P, ctypes.c_int64, _I64P, _I64P, _I64P,
-                               _I64P, ctypes.c_int64]
+                               _I64P, ctypes.c_int64,
+                               ctypes.POINTER(ctypes.c_int64)]
     lib.scan_fasta.restype = ctypes.c_int64
     lib.scan_fasta.argtypes = lib.scan_fastq.argtypes
     lib.pack_block.restype = None
@@ -54,11 +62,12 @@ def _build() -> ctypes.CDLL | None:
                                ctypes.c_int64, _I64P]
     lib.pack_block2.restype = None
     lib.pack_block2.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P,
-                                _U8P, ctypes.c_int64, _I64P]
+                                _U8P, ctypes.c_int64, ctypes.c_int64,
+                                _I64P]
     lib.pack_block2_paired.restype = None
     lib.pack_block2_paired.argtypes = [
         _U8P, _I64P, _I64P, _U8P, _I64P, _I64P, ctypes.c_int64,
-        _U8P, _U8P, ctypes.c_int64, _I64P]
+        _U8P, _U8P, ctypes.c_int64, ctypes.c_int64, _I64P]
     lib.extract_canonical.restype = ctypes.c_int64
     lib.extract_canonical.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int32,
                                       _U64P]
@@ -125,13 +134,19 @@ def available() -> bool:
 
 
 def scan(buf: np.ndarray):
-    """Scan FASTA/FASTQ bytes -> (name_s, name_e, seq_s, seq_e)."""
+    """Scan FASTA/FASTQ bytes -> (name_s, name_e, seq_s, seq_e).
+
+    Raises ValueError on malformed FASTQ (a mid-file line that is not a
+    record header) instead of silently dropping the remainder; a
+    trailing partial record (truncated file) is dropped like the numpy
+    scanner's.  The offset arrays grow when the minimum-record-size
+    guess undershoots (header-only records)."""
     lib = _lib()
     n = len(buf)
     if n == 0:
         z = np.zeros(0, np.int64)
         return z, z, z, z
-    # upper bound on record count
+    # upper bound on record count (grown below if records are smaller)
     if buf[0] == ord("@"):
         cap = n // 8 + 2
         fn = lib.scan_fastq
@@ -140,12 +155,22 @@ def scan(buf: np.ndarray):
         fn = lib.scan_fasta
     else:
         raise ValueError("Failed to recognize the format of the file.")
-    ns = np.empty(cap, np.int64)
-    ne = np.empty(cap, np.int64)
-    ss = np.empty(cap, np.int64)
-    se = np.empty(cap, np.int64)
     buf = np.ascontiguousarray(buf)
-    r = fn(buf, n, ns, ne, ss, se, cap)
+    consumed = ctypes.c_int64(0)
+    while True:
+        ns = np.empty(cap, np.int64)
+        ne = np.empty(cap, np.int64)
+        ss = np.empty(cap, np.int64)
+        se = np.empty(cap, np.int64)
+        r = fn(buf, n, ns, ne, ss, se, cap, ctypes.byref(consumed))
+        if r < cap:
+            break
+        cap *= 4  # tiny records beat the size guess: rescan larger
+    c = consumed.value
+    if c < n and buf[c:].tobytes().strip():
+        raise ValueError(
+            f"malformed FASTQ record at byte {c}: line does not start "
+            f"with '@' (remainder would be silently skipped)")
     return ns[:r], ne[:r], ss[:r], se[:r]
 
 
@@ -154,6 +179,8 @@ def pack_block(buf: np.ndarray, seq_s, seq_e, max_len: int,
     lib = _lib()
     nrec = len(seq_s)
     R = n_rows if n_rows is not None else nrec
+    if R < nrec or len(seq_e) != nrec:
+        raise ValueError("pack_block: output rows/offsets mismatch")
     codes = np.empty((R, max_len), np.uint8)
     if R > nrec:
         codes[nrec:] = 4
@@ -179,6 +206,8 @@ def pack_block2(buf: np.ndarray, seq_s, seq_e, max_len: int,
     lib = _lib()
     nrec = len(seq_s)
     R = n_rows if n_rows is not None else nrec
+    if R < nrec or len(seq_e) != nrec:
+        raise ValueError("pack_block2: output rows/offsets mismatch")
     Lp = -(-max_len // 8) * 8
     packed2 = np.zeros((R, Lp // 4), np.uint8)
     vbits = np.zeros((R, Lp // 8), np.uint8)
@@ -188,7 +217,7 @@ def pack_block2(buf: np.ndarray, seq_s, seq_e, max_len: int,
             np.ascontiguousarray(buf),
             np.ascontiguousarray(seq_s, np.int64),
             np.ascontiguousarray(seq_e, np.int64),
-            nrec, packed2, vbits, Lp, lengths,
+            nrec, packed2, vbits, Lp, max_len, lengths,
         )
     return packed2, vbits, lengths
 
@@ -202,6 +231,9 @@ def pack_block2_paired(buf1: np.ndarray, s1, e1, buf2: np.ndarray, s2, e2,
     lib = _lib()
     nrec = len(s1)
     R = n_rows if n_rows is not None else nrec
+    if (R < nrec or len(e1) != nrec or len(s2) != nrec
+            or len(e2) != nrec):
+        raise ValueError("pack_block2_paired: offset array mismatch")
     Lp = -(-max_len // 8) * 8
     packed2 = np.zeros((R, Lp // 4), np.uint8)
     vbits = np.zeros((R, Lp // 8), np.uint8)
@@ -214,7 +246,7 @@ def pack_block2_paired(buf1: np.ndarray, s1, e1, buf2: np.ndarray, s2, e2,
             np.ascontiguousarray(buf2),
             np.ascontiguousarray(s2, np.int64),
             np.ascontiguousarray(e2, np.int64),
-            nrec, packed2, vbits, Lp, lengths,
+            nrec, packed2, vbits, Lp, max_len, lengths,
         )
     return packed2, vbits, lengths
 

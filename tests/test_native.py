@@ -126,8 +126,10 @@ def test_pack_block2_matches_two_pass():
     ns, ne, ss, se = fast_parse.scan_fastq(buf)
     for L, n_rows in ((12, 3), (16, 5), (27, 3)):
         p2, vb, ln = native.pack_block2(buf, ss, se, L, n_rows=n_rows)
-        codes, ln2 = fast_parse.pack_block(buf, ss, se, -(-L // 8) * 8,
-                                           n_rows=n_rows)
+        # the dispatch fallback packs AT max_len (padding to Lp is
+        # all-invalid), and the native path must match bit-for-bit —
+        # including non-multiple-of-8 widths
+        codes, ln2 = fast_parse.pack_block(buf, ss, se, L, n_rows=n_rows)
         w2, wv = codec.pack_codes(codes)
         np.testing.assert_array_equal(p2, w2)
         np.testing.assert_array_equal(vb, wv)
@@ -217,3 +219,63 @@ def test_pack_block2_paired_matches_fallback():
         np.testing.assert_array_equal(got[0], w2)
         np.testing.assert_array_equal(got[1], wv)
         np.testing.assert_array_equal(got[2], ln2)
+
+
+def test_scan_malformed_fastq_raises():
+    """A mid-file line that is not a record header raises (both
+    scanners) instead of silently skipping the remainder / frame-
+    shifting."""
+    import pytest
+
+    bad = np.frombuffer(
+        b"@a\nACGT\n+\nIIII\n\njunk\n@b\nGGGG\n+\nIIII\n", np.uint8)
+    with pytest.raises(ValueError, match="malformed FASTQ"):
+        native.scan(bad)
+    with pytest.raises(ValueError, match="malformed FASTQ"):
+        fast_parse.scan_fastq(bad)
+
+
+def test_scan_truncated_fastq_drops_partial_tail():
+    """A file truncated mid-record drops the partial record in BOTH
+    scanners (paired-count checks must not flip on native
+    availability)."""
+    for tail in (b"@c\nAC", b"@c\nACGT\n", b"@c\nACGT\n+\n"):
+        buf = np.frombuffer(b"@a\nACGT\n+\nIIII\n" + tail, np.uint8)
+        r_nat = len(native.scan(buf)[0])
+        r_np = len(fast_parse.scan_fastq(buf)[0])
+        assert r_nat == r_np == 1, (tail, r_nat, r_np)
+    # a final record missing only the trailing newline is KEPT by both
+    buf = np.frombuffer(b"@a\nACGT\n+\nIIII\n@c\nAC\n+\nII", np.uint8)
+    assert len(native.scan(buf)[0]) == len(fast_parse.scan_fastq(buf)[0]) == 2
+
+
+def test_scan_grows_past_record_size_guess():
+    """Header-only FASTA records are smaller than the capacity guess;
+    the wrapper must grow and rescan, not silently drop the tail."""
+    data = b">a\n" * 500  # 3 bytes/record < n//4 guess
+    buf = np.frombuffer(data, np.uint8)
+    ns, ne, ss, se = native.scan(buf)
+    assert len(ns) == 500
+
+
+def test_crlf_names_have_no_carriage_return():
+    """Windows line endings must not leak '\\r' into read names (it
+    would corrupt CSV rows) — native and numpy agree."""
+    data = b"@read1\r\nACGT\r\n+\r\nIIII\r\n@read2 x\r\nGGGG\r\n+\r\nIIII\r\n"
+    buf = np.frombuffer(data, np.uint8)
+    for ns, ne in (native.scan(buf)[:2], fast_parse.scan_fastq(buf)[:2]):
+        names = fast_parse.names_of(buf, ns, ne)
+        assert names == ["read1", "read2"], names
+    data2 = b">seq1\r\nACGT\r\n>seq2 d\r\nGGGG\r\n"
+    buf2 = np.frombuffer(data2, np.uint8)
+    for ns, ne in (native.scan(buf2)[:2], fast_parse.scan_fasta(buf2)[:2]):
+        assert fast_parse.names_of(buf2, ns, ne) == ["seq1", "seq2"]
+
+
+def test_scan_fasta_truncated_header_no_crash():
+    """A FASTA ending in a bare header (no newline) parses instead of
+    IndexError-ing in the numpy scanner."""
+    buf = np.frombuffer(b">s1\nACGT\n>s2", np.uint8)
+    for scanner in (fast_parse.scan_fasta, native.scan):
+        ns, ne, ss, se = scanner(buf)
+        assert fast_parse.names_of(buf, ns, ne)[0] == "s1"
