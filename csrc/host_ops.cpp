@@ -32,6 +32,7 @@ struct BaseLut {
         t[(int)'C'] = 2; t[(int)'c'] = 2;
         t[(int)'G'] = 1; t[(int)'g'] = 1;
         t[(int)'T'] = 0; t[(int)'t'] = 0;
+        t[(int)'U'] = 0; t[(int)'u'] = 0;  // RNA: U == T (CuCLARK_hh.hh:287)
     }
 };
 static const uint8_t* base_lut() {

@@ -26,9 +26,11 @@ from cuclark_tpu import u64
 # Sentinel code for non-ACGT characters / padding.
 INVALID = 4
 
-# Host lookup table: ASCII byte -> 2-bit code (A=3 C=2 G=1 T=0), INVALID else.
+# Host lookup table: ASCII byte -> 2-bit code (A=3 C=2 G=1 T=0), INVALID
+# else; RNA 'U' maps to T like the reference's nucleotide tables
+# (src/CuCLARK_hh.hh:287,295).
 BASE_LUT = np.full(256, INVALID, dtype=np.uint8)
-for _ch, _code in (("A", 3), ("C", 2), ("G", 1), ("T", 0)):
+for _ch, _code in (("A", 3), ("C", 2), ("G", 1), ("T", 0), ("U", 0)):
     BASE_LUT[ord(_ch)] = _code
     BASE_LUT[ord(_ch.lower())] = _code
 

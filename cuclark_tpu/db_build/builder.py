@@ -59,8 +59,6 @@ def extract_canonical_light_np(seq: bytes | np.ndarray, k: int, gap: int,
     out = []
     it = iter0
     # part boundaries: runs of valid codes
-    n = len(codes)
-    i = 0
     starts = np.flatnonzero(np.diff(np.r_[0, valid.view(np.int8)]) == 1)
     ends = np.flatnonzero(np.diff(np.r_[valid.view(np.int8), 0]) == -1) + 1
     for s, e in zip(starts, ends):
@@ -221,6 +219,8 @@ class _SpillStore:
     def __init__(self, base_dir, k: int):
         import tempfile
 
+        if base_dir is not None:  # e.g. the (not-yet-created) db dir
+            Path(base_dir).mkdir(parents=True, exist_ok=True)
         self.dir = Path(tempfile.mkdtemp(prefix="cuclark_build_",
                                          dir=base_dir))
         self.k = k
@@ -508,7 +508,7 @@ def build_db(file_labels, cfg: DBConfig, progress=None,
     target-specific-set archive (reference --tsk, SaveMultiple/Load,
     src/HashTableStorage_hh.hh:295-405, 697-737)."""
     if tsk_dir is not None and (Path(tsk_dir) / "tsk.npz").exists():
-        kmers, labels, names = load_tsk(tsk_dir)
+        kmers, labels, names = load_tsk(tsk_dir, cfg)
         return build_table(kmers, labels, names, cfg)
     spill_dir = str(Path(tsk_dir).parent) if tsk_dir is not None else None
     kmers, labels, counts, space, spill = collect_target_kmers(
@@ -546,24 +546,37 @@ def build_db(file_labels, cfg: DBConfig, progress=None,
         kmers, labels, counts = discriminate(kmers, labels, cfg.min_count,
                                              counts, space)
     if tsk_dir is not None:
-        save_tsk(tsk_dir, kmers, labels, space.names)
+        save_tsk(tsk_dir, kmers, labels, space.names, cfg)
     return build_table(kmers, labels, space.names, cfg)
 
 
-def save_tsk(tsk_dir, kmers, labels, names) -> None:
+def save_tsk(tsk_dir, kmers, labels, names, cfg: DBConfig) -> None:
     """Dump the discriminative (target-specific) k-mer sets so a DB can
-    be rebuilt with different hash parameters without re-streaming the
-    genomes — the role of the reference's per-target .ht files."""
+    be rebuilt with different HASH parameters without re-streaming the
+    genomes — the role of the reference's per-target .ht files.  The
+    k-mer-defining parameters (k/gap/min_count) are recorded: a resume
+    under different ones would silently build a DB of the wrong
+    k-mers."""
     d = Path(tsk_dir)
     d.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(
         d / "tsk.npz", kmers=kmers, labels=labels,
         names=np.array(names, dtype=object),
+        params=np.array([cfg.k, cfg.gap, cfg.min_count], np.int64),
     )
 
 
-def load_tsk(tsk_dir):
+def load_tsk(tsk_dir, cfg: DBConfig | None = None):
     with np.load(Path(tsk_dir) / "tsk.npz", allow_pickle=True) as z:
+        if cfg is not None and "params" in z:
+            k, gap, mc = (int(v) for v in z["params"])
+            if (k, gap, mc) != (cfg.k, cfg.gap, cfg.min_count):
+                raise ValueError(
+                    f"tsk archive was built with k={k} gap={gap} "
+                    f"min_count={mc}, which defines DIFFERENT k-mers "
+                    f"than the requested k={cfg.k} gap={cfg.gap} "
+                    f"min_count={cfg.min_count}; delete {tsk_dir} or "
+                    f"match the parameters")
         return (z["kmers"], z["labels"], [str(x) for x in z["names"]])
 
 

@@ -376,6 +376,11 @@ def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
     (gathers would silently wrap negative and probe wrong rows)."""
     if layout not in ("q4", "qs"):
         return
+    if nb_bits < 17 or (layout == "qs" and 0 < stash_bits < 17):
+        # the 15-bit quotient field requires 32 - bits <= 15
+        raise ValueError(
+            f"{layout} layout requires nb_bits >= 17 (and stash_bits "
+            f">= 17): got nb_bits={nb_bits} stash_bits={stash_bits}")
     if nb_bits > MAX_NB_BITS_Q:
         raise ValueError(
             f"{layout} layout supports nb_bits <= {MAX_NB_BITS_Q} "

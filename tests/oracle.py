@@ -16,7 +16,9 @@ Semantics sources (file:line in /root/reference):
 
 from __future__ import annotations
 
-BASE = {"A": 3, "C": 2, "G": 1, "T": 0, "a": 3, "c": 2, "g": 1, "t": 0}
+BASE = {"A": 3, "C": 2, "G": 1, "T": 0, "a": 3, "c": 2, "g": 1, "t": 0,
+        # RNA parity: reference maps U like T (src/CuCLARK_hh.hh:287,295)
+        "U": 0, "u": 0}
 
 
 def kmer_value(s: str) -> int:

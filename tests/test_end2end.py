@@ -213,3 +213,81 @@ def test_spill_split_reduce_matches_unbounded(tmp_path):
     km_d, lb_d, _ = discriminate(km, lb, 0, ct)
     np.testing.assert_array_equal(km_ref, km_d)
     np.testing.assert_array_equal(lb_ref, lb_d)
+
+
+def test_tsk_resume_rejects_mismatched_params(tmp_path):
+    """A tsk archive built under different k/gap/min_count defines
+    different k-mers: resuming from it must raise, not silently build a
+    DB of the wrong keys."""
+    import random
+
+    import pytest
+
+    from cuclark_tpu.db_build.builder import build_db
+
+    rng = random.Random(71)
+    g = "".join(rng.choice("ACGT") for _ in range(2000))
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{g}\n")
+    fl = [(str(p), "T1")]
+    tsk = tmp_path / "tsk"
+    db31 = build_db(fl, DBConfig(k=31), tsk_dir=tsk)
+    assert db31.k == 31
+    with pytest.raises(ValueError, match="tsk archive"):
+        build_db(fl, DBConfig(k=27), tsk_dir=tsk)
+    # matching params resume fine
+    db31b = build_db(fl, DBConfig(k=31), tsk_dir=tsk)
+    np.testing.assert_array_equal(db31b.table, db31.table)
+
+
+def test_spill_creates_missing_base_dir(tmp_path):
+    """Spilling into a not-yet-created db dir must create it, not die
+    with FileNotFoundError mid-build."""
+    import random
+
+    from cuclark_tpu.db_build.builder import build_db
+
+    rng = random.Random(72)
+    g = "".join(rng.choice("ACGT") for _ in range(3000))
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{g}\n")
+    tsk = tmp_path / "newdir" / "tsk"  # parent does not exist yet
+    db = build_db([(str(p), "T1")],
+                  DBConfig(k=21, build_ram_mb=0), tsk_dir=tsk)
+    assert db.num_kmers > 0
+
+
+def test_rna_u_maps_to_t():
+    """RNA 'U' encodes like 'T' (reference nucleotide tables,
+    src/CuCLARK_hh.hh:287,295) in the codec, the native extractor, and
+    the oracle — a U must not break k-mer parts."""
+    from cuclark_tpu import codec, native
+    from cuclark_tpu.db_build.builder import extract_canonical_np
+    from tests import oracle
+
+    dna = b"ACGTACGTACGTACGTACGTACGTA"
+    rna = dna.replace(b"T", b"U")
+    k = 21
+    want = extract_canonical_np(dna, k)
+    np.testing.assert_array_equal(extract_canonical_np(rna, k), want)
+    if native.available():
+        np.testing.assert_array_equal(native.extract_canonical(rna, k),
+                                      want)
+    assert oracle.read_kmers(rna.decode(), k) == list(want)
+    np.testing.assert_array_equal(codec.encode_ascii(b"Uu"),
+                                  codec.encode_ascii(b"Tt"))
+
+
+def test_q_bits_lower_bound():
+    """Explicit sub-17 nb_bits for q4/qs raises the clear geometry
+    error (the 15-bit quotient field), not a confusing self-check
+    failure."""
+    import pytest
+
+    from cuclark_tpu.hashdb import check_q_bits
+
+    with pytest.raises(ValueError, match="nb_bits >= 17"):
+        check_q_bits("q4", 16)
+    with pytest.raises(ValueError, match="nb_bits >= 17"):
+        check_q_bits("qs", 20, 16)
+    check_q_bits("qs", 20, 0)  # fused/absent stash is fine
