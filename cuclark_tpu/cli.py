@@ -84,6 +84,39 @@ def cmd_build_db(args) -> int:
     return 0
 
 
+def _build_jobs(args):
+    """(input, paired_mate, output) triples from -O/-P/-R, honoring the
+    list modes (src/CuCLARK_hh.hh:382-506).  Raises ValueError when an
+    input or output file is missing from the flags."""
+    from cuclark_tpu.io import fasta
+
+    jobs = []
+    if args.paired:
+        # paired list mode: -P may name two lists of mate files with -R
+        # a matching list of result paths
+        triples = fasta.parse_paired_file_lists(
+            args.paired[0], args.paired[1], args.results)
+        if triples is None:
+            jobs.append((args.paired[0], args.paired[1], args.results))
+        else:
+            jobs.extend(triples)
+    elif args.objects:
+        pairs = fasta.parse_file_list(args.objects)
+        if pairs is None:
+            jobs.append((args.objects, None, args.results))
+        else:
+            # multi-file mode: the list names each job's result path
+            jobs.extend((obj, None, res) for obj, res in pairs)
+    else:
+        raise ValueError("classify needs -O <reads> (or -P <R1> <R2>)")
+    for path, _, out_path in jobs:
+        if not out_path:
+            raise ValueError(
+                f"no result path for {path}: pass -R (or use an "
+                f"objects list with '<reads> <results>' lines)")
+    return jobs
+
+
 def cmd_classify(args) -> int:
     from cuclark_tpu.hashdb import KmerDB
     from cuclark_tpu.io import fasta
@@ -146,24 +179,7 @@ def cmd_classify(args) -> int:
         print(f" - Streaming DB in {clf.stream_parts} bucket-range parts "
               f"({src})", file=sys.stderr)
 
-    jobs = []  # (path, paired_path, out_path)
-    if args.paired:
-        # paired list mode (src/CuCLARK_hh.hh:482-506): -P may name two
-        # lists of mate files with -R a matching list of result paths
-        triples = fasta.parse_paired_file_lists(
-            args.paired[0], args.paired[1], args.results)
-        if triples is None:
-            jobs.append((args.paired[0], args.paired[1], args.results))
-        else:
-            jobs.extend(triples)
-    else:
-        pairs = fasta.parse_file_list(args.objects)
-        if pairs is None:
-            jobs.append((args.objects, None, args.results))
-        else:
-            # multi-file mode (src/CuCLARK_hh.hh:382-506)
-            for obj, res in pairs:
-                jobs.append((obj, None, res))
+    jobs = _build_jobs(args)  # (path, paired_path, out_path)
 
     profile_cm = None
     if args.profile:
@@ -236,20 +252,7 @@ def _classify_multiprocess(args, db, cfg) -> int:
           f"{mesh.shape['db']} db over {nproc} process(es)",
           file=sys.stderr)
 
-    jobs = []
-    if args.paired:
-        triples = fasta.parse_paired_file_lists(
-            args.paired[0], args.paired[1], args.results)
-        if triples is None:
-            jobs.append((args.paired[0], args.paired[1], args.results))
-        else:
-            jobs.extend(triples)
-    else:
-        pairs = fasta.parse_file_list(args.objects)
-        if pairs is None:
-            jobs.append((args.objects, None, args.results))
-        else:
-            jobs.extend((obj, None, res) for obj, res in pairs)
+    jobs = _build_jobs(args)
 
     # one engine for all files: the sharded table upload and the step
     # compilation happen once, not per input file
@@ -332,9 +335,10 @@ def cmd_abundance(args) -> int:
         if dbp is None:
             print(f"no database found in {args.db_dir}", file=sys.stderr)
             return 1
-        from cuclark_tpu.hashdb import KmerDB
+        from cuclark_tpu.hashdb import load_target_names
 
-        counts = {name: 0 for name in KmerDB.load(dbp).target_names[1:]}
+        # meta-only read: the table array (possibly GBs) is not needed
+        counts = {name: 0 for name in load_target_names(dbp)[1:]}
     total = 0
     min_conf = args.min_confidence
     min_gamma = args.min_gamma
@@ -373,7 +377,8 @@ def cmd_abundance(args) -> int:
     for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
         pc = "-" if name == "NA" else (
             f"{100.0 * c / classified:.4f}" if classified else "0.0000")
-        print(f"{name},{c},{100.0 * c / total:.4f},{pc}")
+        pa = f"{100.0 * c / total:.4f}" if total else "0.0000"
+        print(f"{name},{c},{pa},{pc}")
     return 0
 
 

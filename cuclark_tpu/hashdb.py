@@ -375,6 +375,11 @@ def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
     """Reject q4/qs geometries whose global row indices overflow int32
     (gathers would silently wrap negative and probe wrong rows)."""
     if layout not in ("q4", "qs"):
+        if nb_bits > 31:
+            # s2 bucket indices are also int32 on device
+            raise ValueError(
+                f"{layout} layout supports nb_bits <= 31 (got "
+                f"{nb_bits}): bucket indices are int32 on device")
         return
     if nb_bits < 17 or (layout == "qs" and 0 < stash_bits < 17):
         # the 15-bit quotient field requires 32 - bits <= 15
@@ -397,6 +402,17 @@ def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
 # main table; 2^21 = 67 MB is already ~1.5x slower and 2^22 = 134 MB
 # probes at the cold rate (BENCHNOTES round 4 stash sweep).
 WARM_STASH_MAX_BITS = 20
+
+
+def load_target_names(path) -> list[str]:
+    """Target names from a DB artifact WITHOUT materializing the table
+    array (npz members load lazily; summaries like `abundance -D` must
+    not pay a multi-GB decompress for a name list)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+    if meta.get("format") != "cuclark-tpu-db-v1":
+        raise ValueError(f"not a cuclark-tpu database: {path}")
+    return list(meta["target_names"])
 
 
 def choose_nb_bits(n_kmers: int, cfg: DBConfig) -> int:

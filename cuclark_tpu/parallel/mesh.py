@@ -297,10 +297,17 @@ class ShardedClassifier:
     def local_rows(out_arr, n_local: int | None = None) -> np.ndarray:
         """This process's rows of a data-sharded result (multi-host:
         only addressable shards can be read back; rank order along the
-        data axis is this host's contiguous record block)."""
-        shards = sorted(out_arr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        rows = np.concatenate([np.asarray(s.data) for s in shards])
+        data axis is this host's contiguous record block).
+
+        Results are REPLICATED along 'db' (out_specs P('data', None)),
+        so addressable_shards lists every replica: keep exactly one
+        shard per data-axis block — concatenating replicas would hand
+        later reads earlier reads' rows."""
+        blocks: dict[int, object] = {}
+        for s in out_arr.addressable_shards:
+            blocks.setdefault(s.index[0].start or 0, s)
+        rows = np.concatenate(
+            [np.asarray(blocks[k].data) for k in sorted(blocks)])
         return rows if n_local is None else rows[:n_local]
 
     def classify_codes(self, codes: np.ndarray):

@@ -59,6 +59,24 @@ def _spread_oob(bloc, in_range, local: int):
     return jnp.where(in_range, bloc, iota % jnp.int32(local))
 
 
+
+def _q_match_labels(tbl, bloc, own, other, bits, choice, in_range):
+    """One q-layout row gather per lane + exact 64-bit reconstruct-
+    compare on the [other x4 | meta x4] format, summing matched labels
+    (0/1 matches per lane by construction).  Shared by the q4/qs
+    probes; `bits` is how many own-bits the bucket index pins."""
+    rows = jnp.take(tbl, bloc, axis=0)            # [NK, 8]
+    meta = rows[:, 4:]
+    m = ((rows[:, :4] == other[:, None])
+         & ((meta >> jnp.uint32(17)) == (own >> jnp.uint32(bits))[:, None])
+         & (((meta >> jnp.uint32(16)) & jnp.uint32(1)) == choice))
+    if in_range is not None:
+        m &= in_range[:, None]
+    return jnp.sum(
+        jnp.where(m, (meta & jnp.uint32(0xFFFF)).astype(jnp.int32), 0),
+        axis=1)
+
+
 def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
           bucket_start=None, nb_local: int | None = None,
           layout: str = "s2", seed: int = 0, stash_bits: int = 0,
@@ -158,7 +176,6 @@ def _probe_qs(table, nb_bits: int, stash_bits: int, seed: int, khi, klo,
     nb = 1 << nb_bits
     mask = jnp.uint32(nb - 1)
     smask = jnp.uint32((1 << stash_bits) - 1)
-    one = jnp.uint32(1)
 
     h1, l2 = feistel_mix(khi_f, klo_f, seed)
     label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
@@ -174,16 +191,8 @@ def _probe_qs(table, nb_bits: int, stash_bits: int, seed: int, khi, klo,
             bloc = _spread_oob(bloc, in_range, nb_local)
         else:
             bloc, in_range = b, None
-        rows = jnp.take(table, bloc, axis=0)          # [NK, 8]
-        meta = rows[:, 4:]
-        m = ((rows[:, :4] == other[:, None])
-             & ((meta >> jnp.uint32(17)) == (own >> jnp.uint32(bits))[:, None])
-             & (((meta >> jnp.uint32(16)) & one) == choice))
-        if in_range is not None:
-            m &= in_range[:, None]
-        label += jnp.sum(
-            jnp.where(m, (meta & jnp.uint32(0xFFFF)).astype(jnp.int32), 0),
-            axis=1)
+        label += _q_match_labels(table, bloc, own, other, bits, choice,
+                                 in_range)
     return label.reshape(shape)
 
 
@@ -209,7 +218,6 @@ def _probe_qs_split(main, stash, nb_bits: int, stash_bits: int, seed: int,
         nb_local = main.shape[0]
     mask = jnp.uint32((1 << nb_bits) - 1)
     smask = jnp.uint32((1 << stash_bits) - 1)
-    one = jnp.uint32(1)
 
     h1, l2 = feistel_mix(khi_f, klo_f, seed)
     label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
@@ -227,16 +235,8 @@ def _probe_qs_split(main, stash, nb_bits: int, stash_bits: int, seed: int,
             bloc = _spread_oob(bloc, in_range, local)
         else:
             bloc, in_range = b, None
-        rows = jnp.take(tbl, bloc, axis=0)            # [NK, 8]
-        meta = rows[:, 4:]
-        m = ((rows[:, :4] == other[:, None])
-             & ((meta >> jnp.uint32(17)) == (own >> jnp.uint32(bits))[:, None])
-             & (((meta >> jnp.uint32(16)) & one) == choice))
-        if in_range is not None:
-            m &= in_range[:, None]
-        label += jnp.sum(
-            jnp.where(m, (meta & jnp.uint32(0xFFFF)).astype(jnp.int32), 0),
-            axis=1)
+        label += _q_match_labels(tbl, bloc, own, other, bits, choice,
+                                 in_range)
     return label.reshape(shape)
 
 
@@ -255,8 +255,6 @@ def _probe_q4(table, nb_bits: int, seed: int, khi, klo,
     if nb_local is None:
         nb_local = table.shape[0]
     mask = jnp.uint32((1 << nb_bits) - 1)
-    nbb = jnp.uint32(nb_bits)
-    one = jnp.uint32(1)
 
     h1, l2 = feistel_mix(khi_f, klo_f, seed)
     label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
@@ -268,14 +266,6 @@ def _probe_q4(table, nb_bits: int, seed: int, khi, klo,
             bloc = _spread_oob(bloc, in_range, nb_local)
         else:
             bloc, in_range = b, None
-        rows = jnp.take(table, bloc, axis=0)          # [NK, 8]
-        meta = rows[:, 4:]
-        m = ((rows[:, :4] == other[:, None])
-             & ((meta >> jnp.uint32(17)) == (own >> nbb)[:, None])
-             & (((meta >> jnp.uint32(16)) & one) == choice))
-        if in_range is not None:
-            m &= in_range[:, None]
-        label += jnp.sum(
-            jnp.where(m, (meta & jnp.uint32(0xFFFF)).astype(jnp.int32), 0),
-            axis=1)
+        label += _q_match_labels(table, bloc, own, other, nb_bits, choice,
+                                 in_range)
     return label.reshape(shape)

@@ -72,7 +72,10 @@ def first_accession(seq_file) -> str | None:
         line = f.readline()
     if not line.startswith((b">", b"@")):
         return None
-    token = line[1:].split()[0].decode("ascii", "replace")
+    tokens = line[1:].split()
+    if not tokens:  # bare '>' marker with no name
+        return None
+    token = tokens[0].decode("ascii", "replace")
     # strip trailing |-delimited formats like gi|...|ref|ACC.V|
     if "|" in token:
         fields = [t for t in token.split("|") if t]
@@ -90,6 +93,8 @@ def accession_to_taxid(accessions, accession2taxid_files, merged=None):
     want = set(accessions)
     out: dict[str, int] = {}
     for path in accession2taxid_files:
+        if len(out) == len(want):
+            break
         with _open_maybe_gz(path) as f:
             for line in f:
                 parts = line.rstrip("\n").split("\t")
@@ -101,6 +106,10 @@ def accession_to_taxid(accessions, accession2taxid_files, merged=None):
                     if merged:
                         tid = merged.get(tid, tid)
                     out[acc] = tid
+                    if len(out) == len(want):
+                        # tables are tens of GB: stop once every wanted
+                        # accession resolved
+                        break
     return out
 
 

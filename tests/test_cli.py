@@ -167,3 +167,40 @@ def test_no_widen_stash_flag():
     on = _build_cfg(argparse.Namespace(**base, no_widen_stash=False))
     off = _build_cfg(argparse.Namespace(**base, no_widen_stash=True))
     assert on.widen_for_warm_stash and not off.widen_for_warm_stash
+
+
+def test_classify_requires_output_flag(tmp_path):
+    """Missing -R (or -O) yields a usage error message, not a
+    traceback."""
+    from cuclark_tpu.cli import main
+
+    (tmp_path / "g.fa").write_text(">g\nACGTACGTACGTACGTACGTACGTACGT\n")
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/g.fa T1\n")
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    r1 = tmp_path / "r.fq"
+    r1.write_text("@a\nACGTACGTACGTACGTACGTACGT\n+\n" + "I" * 24 + "\n")
+    assert main(["classify", "-D", str(tmp_path / "db"),
+                 "-O", str(r1)]) == 1          # no -R
+    assert main(["classify", "-D", str(tmp_path / "db"),
+                 "-R", str(tmp_path / "o.csv")]) == 1  # no -O/-P
+    assert main(["classify", "-D", str(tmp_path / "db"),
+                 "-P", str(r1), str(r1)]) == 1  # paired, no -R
+
+
+def test_abundance_empty_csv_with_db(tmp_path, capsys):
+    """abundance -D on a header-only CSV reports zero counts instead of
+    ZeroDivisionError."""
+    from cuclark_tpu.cli import main
+
+    (tmp_path / "g.fa").write_text(">g\nACGTACGTACGTACGTACGTACGTACGT\n")
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/g.fa T1\n")
+    main(["build-db", "-T", str(tmp_path / "targets.txt"),
+          "-D", str(tmp_path / "db"), "-k", "21"])
+    csvp = tmp_path / "empty.csv"
+    csvp.write_text("Object_ID,Length,Gamma,1st_assignment,score1,"
+                    "2nd_assignment,score2,confidence\n")
+    assert main(["abundance", "-R", str(csvp),
+                 "-D", str(tmp_path / "db")]) == 0
+    out = capsys.readouterr().out
+    assert "T1,0,0.0000" in out

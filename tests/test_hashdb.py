@@ -108,7 +108,9 @@ def test_q_bits_int32_guard():
 
     check_q_bits("q4", 30)
     check_q_bits("qs", 30, 22)
-    check_q_bits("s2", 40)  # s2 masks to nb_bits; no global-row indexing
+    check_q_bits("s2", 31)  # s2 bucket indices are int32 too
+    with pytest.raises(ValueError):
+        check_q_bits("s2", 32)
     with pytest.raises(ValueError):
         check_q_bits("q4", 31)
     with pytest.raises(ValueError):

@@ -138,7 +138,9 @@ def test_global_mesh_function_with_db_axis(tmp_path):
     g = "".join(rng.choice("ACGT") for _ in range(3000))
     (tmp_path / "g.fa").write_text(f">g\n{g}\n")
     db = build_db([(str(tmp_path / "g.fa"), "T1")], DBConfig(k=21))
-    reads = [(f"r{i}", g[(p := rng.randrange(0, 2800)): p + 120])
+    # VARIABLE lengths: uniform reads produce identical result rows,
+    # which masked a replica-duplication bug in local_rows (round 4)
+    reads = [(f"r{i}", g[(p := rng.randrange(0, 2700)): p + 60 + 7 * i])
              for i in range(21)]
     fq = tmp_path / "r.fq"
     fq.write_text("".join(

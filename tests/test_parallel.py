@@ -142,3 +142,23 @@ def test_cli_devices_flag(db, tmp_path):
     assert main(["classify", "-D", str(dbdir), "-O", str(reads_path),
                  "-R", str(outn), "-d", "0"]) == 0
     assert outn.read_bytes() == out1.read_bytes()
+
+
+def test_local_rows_dedups_db_replicas():
+    """Results are replicated along 'db'; local_rows must keep one
+    shard per data block — concatenating replicas hands later reads
+    earlier reads' rows (round-4 regression, masked by uniform-read
+    test data)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cuclark_tpu.parallel.mesh import ShardedClassifier, make_mesh
+
+    mesh = make_mesh(num_db=4, num_data=2, devices=jax.devices()[:8])
+    x = np.arange(16, dtype=np.int32).reshape(16, 1)
+    arr = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    rows = ShardedClassifier.local_rows(arr)
+    np.testing.assert_array_equal(rows, x)
+    np.testing.assert_array_equal(
+        ShardedClassifier.local_rows(arr, 10), x[:10])
