@@ -38,6 +38,12 @@ def spectrum_histogram(path) -> np.ndarray:
     if not counts:
         return np.zeros(1, dtype=np.int64)
     c = np.asarray(counts, dtype=np.int64)
+    # the histogram allocates max(count)+1 bins: one corrupt count
+    # (wrong column, concatenated digits) must raise, not MemoryError
+    if int(c.max()) > 100_000_000 or int(c.min()) < 0:
+        raise ValueError(
+            f"implausible spectrum count {int(c.max() if c.max() > 0 else c.min())} "
+            f"in {path}: corrupt line?")
     return np.bincount(c, minlength=int(c.max()) + 1)
 
 

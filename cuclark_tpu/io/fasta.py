@@ -80,10 +80,21 @@ def read_records(path):
                 header = bio.readline()
                 if not header:
                     break
+                if not header.startswith(b"@"):
+                    raise ValueError(
+                        f"malformed FASTQ record in {path}: line does "
+                        f"not start with '@'")
+                name = _name_of(header[1:].rstrip(b"\r\n"))
                 seq = bio.readline().rstrip(b"\r\n")
-                bio.readline()  # '+'
-                bio.readline()  # quals
-                yield _name_of(header[1:].rstrip(b"\r\n")), seq
+                plus = bio.readline()
+                quals = bio.readline()
+                if not plus.startswith(b"+") or not quals:
+                    # truncated / 3-line record would desync every
+                    # following record into garbage
+                    raise ValueError(
+                        f"truncated or malformed FASTQ record in "
+                        f"{path} (read {name!r})")
+                yield name, seq
 
 
 def mate_id(name: str) -> str:
@@ -138,6 +149,10 @@ def parse_paired_file_lists(path1, path2, results_path):
     except (ValueError, UnicodeDecodeError):
         pass
 
+    if results_path is None:
+        raise ValueError("paired list mode needs -R: a matching list "
+                         "of result paths")
+
     def lines(p):
         return [ln.strip() for ln in Path(p).read_text(errors="replace")
                 .splitlines() if ln.strip()]
@@ -180,4 +195,8 @@ def parse_file_list(path) -> list[tuple[str, str]] | None:
                 f"and not an '<objects> <results>' list (bad line: {line!r})"
             )
         pairs.append((parts[0], parts[1]))
+    if not pairs:
+        raise ValueError(
+            f"Failed to recognize the format of {path}: empty file "
+            f"(not FASTA/FASTQ and no '<objects> <results>' lines)")
     return pairs

@@ -25,7 +25,8 @@ def find_sequence_files(ref_dirs):
         for p in sorted(Path(d).rglob("*")):
             s = p.name.lower()
             base = s[:-3] if s.endswith(".gz") else s
-            if any(base.endswith(suf) for suf in SEQ_SUFFIXES):
+            if (p.is_file()
+                    and any(base.endswith(suf) for suf in SEQ_SUFFIXES)):
                 out.append(p)
     return out
 
@@ -38,7 +39,12 @@ def set_targets(args) -> int:
         print("no sequence files found", file=sys.stderr)
         return 1
 
-    if args.rank == "custom" or not args.taxonomy_dir:
+    if args.rank != "custom" and not args.taxonomy_dir:
+        print(f"error: --rank {args.rank} needs --taxonomy-dir (with "
+              f"nodes.dmp and accession2taxid); use --rank custom for "
+              f"per-file labels", file=sys.stderr)
+        return 1
+    if args.rank == "custom":
         # custom mode: label = file stem (reference custom DB workflow,
         # README.md custom targets)
         lines = [f"{p} {p.stem}" for p in files]
@@ -63,7 +69,23 @@ def set_targets(args) -> int:
         ]
         file_ranks = ncbi.files_to_tax_nodes(file_taxids, parent, rank)
         lines, excluded = ncbi.targets_def_lines(file_ranks, args.rank, names)
-        excluded += [str(p) for p in files if str(p) not in dict(file_taxids)]
+        resolved = {fp for fp, _ in file_taxids}
+        excluded += [str(p) for p in files if str(p) not in resolved]
+
+    if not lines:
+        print(f"error: no target could be labeled at rank "
+              f"{args.rank!r} ({len(excluded)} file(s) excluded — is "
+              f"the taxonomy dir missing accession2taxid tables?)",
+              file=sys.stderr)
+        return 1
+    # targets.txt columns are whitespace-separated (reference
+    # getTargetsData): a path containing whitespace cannot be recorded
+    bad = [ln for ln in lines if len(ln.split()) != 2]
+    if bad:
+        print(f"error: sequence path contains whitespace and cannot be "
+              f"written to targets.txt: {bad[0].rsplit(None, 1)[0]!r}",
+              file=sys.stderr)
+        return 1
 
     (db_dir / "targets.txt").write_text("\n".join(lines) + "\n")
     if excluded:

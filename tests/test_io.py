@@ -85,3 +85,58 @@ def test_write_results_header(tmp_path):
     lines = out.read_text().splitlines()
     assert lines[0] == ("Object_ID,A,B,Length,Gamma,1st_assignment,score1,"
                         "2nd_assignment,score2,confidence")
+
+
+def test_empty_objects_list_raises(tmp_path):
+    """An empty/whitespace-only -O file must error, not silently
+    classify nothing with exit 0."""
+    import pytest
+
+    from cuclark_tpu.io import fasta
+
+    p = tmp_path / "empty.txt"
+    p.write_text("  \n\n")
+    with pytest.raises(ValueError, match="Failed to recognize"):
+        fasta.parse_file_list(p)
+
+
+def test_paired_list_without_results_raises(tmp_path):
+    import pytest
+
+    from cuclark_tpu.io import fasta
+
+    r = tmp_path / "a.fq"
+    r.write_text("@x\nACGT\n+\nIIII\n")
+    l1 = tmp_path / "l1.txt"
+    l2 = tmp_path / "l2.txt"
+    l1.write_text(f"{r}\n")
+    l2.write_text(f"{r}\n")
+    with pytest.raises(ValueError, match="needs -R"):
+        fasta.parse_paired_file_lists(l1, l2, None)
+
+
+def test_truncated_fastq_record_raises(tmp_path):
+    import pytest
+
+    from cuclark_tpu.io import fasta
+
+    p = tmp_path / "t.fq"
+    p.write_text("@a\nACGT\n+\nIIII\n@b\nGGGG\n")  # no +/qual lines
+    with pytest.raises(ValueError, match="truncated or malformed"):
+        list(fasta.read_records(p))
+
+
+def test_set_targets_rank_without_taxonomy_errors(tmp_path):
+    """An explicit rank without --taxonomy-dir must error, not silently
+    fall back to per-file custom labels."""
+    import argparse
+
+    from cuclark_tpu.taxonomy.targets import set_targets
+
+    (tmp_path / "refs").mkdir()
+    (tmp_path / "refs" / "g.fa").write_text(">g\nACGT\n")
+    rc = set_targets(argparse.Namespace(
+        db_dir=str(tmp_path / "db"), ref_dirs=[str(tmp_path / "refs")],
+        rank="genus", taxonomy_dir=None))
+    assert rc == 1
+    assert not (tmp_path / "db" / "targets.txt").exists()
