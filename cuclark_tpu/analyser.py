@@ -40,10 +40,11 @@ def spectrum_histogram(path) -> np.ndarray:
     c = np.asarray(counts, dtype=np.int64)
     # the histogram allocates max(count)+1 bins: one corrupt count
     # (wrong column, concatenated digits) must raise, not MemoryError
-    if int(c.max()) > 100_000_000 or int(c.min()) < 0:
+    hi, lo = int(c.max()), int(c.min())
+    if hi > 100_000_000 or lo < 0:
+        bad = hi if hi > 100_000_000 else lo
         raise ValueError(
-            f"implausible spectrum count {int(c.max() if c.max() > 0 else c.min())} "
-            f"in {path}: corrupt line?")
+            f"implausible spectrum count {bad} in {path}: corrupt line?")
     return np.bincount(c, minlength=int(c.max()) + 1)
 
 

@@ -314,8 +314,33 @@ def _read_settings(dbdir: Path) -> dict | None:
 
 
 def _count_csv_rows(path) -> int:
+    """Completed data rows in a (possibly crash-truncated) result CSV.
+
+    A process killed mid-write can leave a final line without its
+    trailing '\\n'.  Counting that partial line as done would make
+    --resume skip the read it belongs to, leaving one permanently
+    corrupt row; instead the dangling tail is truncated here so the
+    resumed run re-emits that read's row and the final file is
+    byte-identical to an uninterrupted run."""
     try:
-        with open(path, "rb") as f:
+        with open(path, "r+b") as f:
+            f.seek(0, 2)
+            size = f.tell()
+            if size == 0:
+                return 0
+            f.seek(size - 1)
+            if f.read(1) != b"\n":
+                # scan backwards for the last complete line's newline
+                pos, last_nl = size - 1, -1
+                while pos > 0 and last_nl < 0:
+                    start = max(0, pos - (1 << 16))
+                    f.seek(start)
+                    last_nl_rel = f.read(pos - start).rfind(b"\n")
+                    if last_nl_rel >= 0:
+                        last_nl = start + last_nl_rel
+                    pos = start
+                f.truncate(last_nl + 1)  # 0 when no newline exists at all
+            f.seek(0)
             return max(0, sum(1 for _ in f) - 1)
     except OSError:
         return 0

@@ -129,6 +129,7 @@ def _align_in_window(path, size: int, pos: int, fmt_fastq: bool,
     if pos >= size:
         return size
     align = align_to_fastq_record if fmt_fastq else align_to_fasta_record
+    retries = 0
     while True:
         lo = pos - 1  # previous byte needed for the line-start check
         hi = min(size, pos + slack)
@@ -137,7 +138,12 @@ def _align_in_window(path, size: int, pos: int, fmt_fastq: bool,
         margin = slack // 2 if fmt_fastq else 0
         if hi >= size or r < len(w) - margin:
             return min(lo + r, size)
-        slack *= 2
+        # no verifiable record start inside the window (malformed input
+        # near the boundary): doubling retries each re-read the window
+        # from `pos`, so cap them — after a few misses one full-tail
+        # read settles the answer instead of O(size log size) re-scans
+        retries += 1
+        slack = size if retries >= 3 else slack * 2
 
 
 def read_host_slice(path, num_hosts: int, host_id: int,
@@ -298,6 +304,10 @@ class GlobalClassifier:
 
         use_native = native.available()
         written = 0
+        # extended-mode hit stats on the non-native fallback (the native
+        # path accumulates inside CsvSink): [min, max, sum] of distinct
+        # hit targets per read, allreduced across ranks before printing
+        hstats = [None, 0, 0]
         out_p = f"{out_path}.h{pid:03d}" if nproc > 1 else out_path
         with open(out_p, "wb") as f:
             sink = (CsvSink(f, db, cfg.extended, paired)
@@ -321,6 +331,17 @@ class GlobalClassifier:
                                cnt)
                     written = sink.total_rows
                 else:
+                    if cfg.extended and labels_np is not None and cnt:
+                        from cuclark_tpu.pipeline import dense_counts
+
+                        d = (dense_counts(labels_np[:cnt],
+                                          db.num_targets)[:, 1:]
+                             > 0).sum(axis=1)
+                        lo = int(d.min())
+                        hstats[0] = (lo if hstats[0] is None
+                                     else min(hstats[0], lo))
+                        hstats[1] = max(hstats[1], int(d.max()))
+                        hstats[2] += int(d.sum())
                     names = fast_parse.names_of(buf, ns, ne)
                     for row in clf._emit_np(results, labels_np, names,
                                             lengths, cnt, paired):
@@ -400,8 +421,27 @@ class GlobalClassifier:
                         submit(inflight.popleft())
                 while futs:
                     futs.popleft().result()
-        if pid == 0 and use_native:
-            sink.print_hit_stats()
+        if cfg.extended:
+            # reference prints ONE global MIN/MAX/AVG hit-stats line
+            # (CuCLARK_hh.hh:2075-2080); allreduce the per-rank triples
+            # so the stats cover every rank's rows, not just rank 0's.
+            # This is a collective: every rank participates, rank 0
+            # prints.
+            import sys as _sys
+
+            h = sink.hstats if use_native else hstats
+            rows = sink.total_rows if use_native else written
+            sentinel = 1 << 40
+            g = _gather_rows_i64(np.array(
+                [h[0] if h[0] is not None else sentinel,
+                 h[1], h[2], rows]))
+            n_rows = int(g[:, 3].sum())
+            if pid == 0 and n_rows:
+                lo = int(g[:, 0].min())
+                print(f"MIN targets: {0 if lo >= sentinel else lo}, "
+                      f"MAX targets: {int(g[:, 1].max())}, "
+                      f"AVG targets: {int(g[:, 2].sum()) / n_rows:g}",
+                      file=_sys.stderr)
         return written
 
 
@@ -426,6 +466,19 @@ def agree_budget_mb(budget_mb: float | None) -> float | None:
 
 def _allreduce_min_i64(values: np.ndarray) -> np.ndarray:
     return -_allreduce_max_i64(-np.asarray(values, np.int64))
+
+
+def _gather_rows_i64(values: np.ndarray) -> np.ndarray:
+    """Allgather a small int64 vector: returns [nproc, len(values)]
+    (single-process: [1, len])."""
+    import jax
+
+    v = np.asarray(values, np.int64)
+    if jax.process_count() <= 1:
+        return v[None]
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(v))
 
 
 def classify_file_to_csv(db, cfg, path, out_path, num_db: int = 1,
