@@ -791,4 +791,198 @@ int64_t format_rows_ext(int64_t n, int64_t n_targets,
     return w;
 }
 
+// ---- result-CSV ingestion (abundance / density summarization) ----
+// The downstream of CLARK's estimate_abundance / density scripts
+// (reference README.md:58-80 consumes the classify CSV).  A 100M-row
+// ladder-4 result file must not be re-parsed row-by-row in Python;
+// one native pass tallies per-target counts (interning assignment
+// names on the fly) or extracts a float column for assigned rows.
+
+// Parse one CSV line in [i, n): records up to ncols field (start,end)
+// pairs, returns the byte offset just past the line's '\n' (or n).
+// *nf receives the field count.  No quoting: CLARK CSVs are never
+// quoted (format_rows writes raw names).
+static inline int64_t csv_line(const uint8_t* buf, int64_t n, int64_t i,
+                               int64_t* fs, int64_t* fe, int32_t ncols,
+                               int32_t* nf) {
+    int32_t f = 0;
+    int64_t s = i;
+    while (i < n) {
+        uint8_t c = buf[i];
+        if (c == ',' || c == '\n') {
+            if (f < ncols) { fs[f] = s; fe[f] = i; }
+            f++;
+            s = i + 1;
+            if (c == '\n') { *nf = f; return i + 1; }
+        }
+        i++;
+    }
+    // final line without '\n' (crash-truncated tail): report its
+    // fields; the caller decides whether a complete field set counts
+    if (s < i || f) { if (f < ncols) { fs[f] = s; fe[f] = i; } f++; }
+    *nf = f;
+    return n;
+}
+
+// Locale-safe float field parse (field is NOT null-terminated and may
+// abut a page boundary at EOF: copy to a stack buffer first).
+static inline double csv_f64(const uint8_t* buf, int64_t s, int64_t e) {
+    char tmp[64];
+    int64_t len = e - s;
+    if (len <= 0 || len >= (int64_t)sizeof(tmp)) return 0.0;
+    memcpy(tmp, buf + s, (size_t)len);
+    tmp[len] = 0;
+    return strtod(tmp, nullptr);
+}
+
+// Open-addressing name interner over (offset,len) byte slices.
+struct NameIntern {
+    const uint8_t* buf;
+    int64_t* slot_off;   // [cap_slots] offset into names blob, -1 empty
+    int32_t* slot_id;
+    int64_t cap_slots;   // power of two
+    uint8_t* names;      // caller blob
+    int64_t names_cap, names_w;
+    int64_t* name_off;   // [max_names + 1]
+    int32_t max_names, n_names;
+};
+
+static uint64_t ni_hash(const uint8_t* p, int64_t len) {
+    uint64_t h = 1469598103934665603ull;  // FNV-1a
+    for (int64_t i = 0; i < len; i++) { h ^= p[i]; h *= 1099511628211ull; }
+    return h;
+}
+
+// Returns the id for the name bytes, interning on first sight;
+// -1 on capacity overflow (max_names or names blob).
+static int32_t ni_get(NameIntern* ni, const uint8_t* p, int64_t len) {
+    uint64_t h = ni_hash(p, len);
+    int64_t m = ni->cap_slots - 1;
+    for (int64_t j = h & m;; j = (j + 1) & m) {
+        if (ni->slot_off[j] < 0) {
+            if (ni->n_names >= ni->max_names
+                || ni->names_w + len > ni->names_cap)
+                return -1;
+            memcpy(ni->names + ni->names_w, p, (size_t)len);
+            ni->slot_off[j] = ni->names_w;
+            ni->slot_id[j] = ni->n_names;
+            ni->names_w += len;
+            ni->name_off[ni->n_names + 1] = ni->names_w;
+            return ni->n_names++;
+        }
+        int64_t off = ni->slot_off[j];
+        int32_t id = ni->slot_id[j];
+        if (ni->name_off[id + 1] - ni->name_off[id] == len
+            && memcmp(ni->names + off, p, (size_t)len) == 0)
+            return id;
+    }
+}
+
+// One-pass abundance tally.  buf starts AFTER the header line.  Column
+// indices are from the header (col_conf / col_gamma -1 when absent).
+// Id 0 is pre-interned as "NA"; low-confidence / low-gamma assignments
+// count as NA (CLARK estimate_abundance -c / --highconfidence filter).
+// counts[max_names] int64 must be zeroed by the caller.  Returns the
+// number of distinct names (>= 1), or -(byte_offset+1) of the first
+// malformed line (wrong field count), or -(n+2) on interner overflow.
+// *total_out receives the data row count.  A trailing line without
+// '\n' is counted only when it has the full field set.
+int64_t csv_tally(const uint8_t* buf, int64_t n,
+                  int32_t ncols, int32_t col_assign,
+                  int32_t col_conf, int32_t col_gamma,
+                  double min_conf, double min_gamma,
+                  int64_t* counts, int32_t max_names,
+                  uint8_t* names, int64_t names_cap, int64_t* name_off,
+                  int64_t* total_out) {
+    if (ncols > 4096 || col_assign >= ncols) return -(n + 2);
+    int64_t* fs = new int64_t[ncols];
+    int64_t* fe = new int64_t[ncols];
+    int64_t cap_slots = 64;
+    while (cap_slots < (int64_t)max_names * 2) cap_slots <<= 1;
+    int64_t* slot_off = new int64_t[cap_slots];
+    int32_t* slot_id = new int32_t[cap_slots];
+    for (int64_t j = 0; j < cap_slots; j++) slot_off[j] = -1;
+    NameIntern ni = {buf, slot_off, slot_id, cap_slots,
+                     names, names_cap, 0, name_off, max_names, 0};
+    name_off[0] = 0;
+    ni_get(&ni, (const uint8_t*)"NA", 2);  // id 0
+    int64_t i = 0, total = 0, err = 0;
+    while (i < n && !err) {
+        int32_t nf = 0;
+        int64_t line_s = i;
+        i = csv_line(buf, n, i, fs, fe, ncols, &nf);
+        if (nf == 1 && fe[0] == fs[0]) continue;  // blank line
+        if (nf != ncols) {
+            if (i >= n) break;  // truncated tail row: ignore
+            err = -(line_s + 1);
+            break;
+        }
+        int64_t as = fs[col_assign], ae = fe[col_assign];
+        int32_t id;
+        if (ae - as == 2 && buf[as] == 'N' && buf[as + 1] == 'A') {
+            id = 0;
+        } else if (min_conf > 0 && col_conf >= 0
+                   && csv_f64(buf, fs[col_conf], fe[col_conf]) < min_conf) {
+            id = 0;
+        } else if (min_gamma > 0 && col_gamma >= 0
+                   && csv_f64(buf, fs[col_gamma], fe[col_gamma])
+                          < min_gamma) {
+            id = 0;
+        } else {
+            id = ni_get(&ni, buf + as, ae - as);
+            if (id < 0) { err = -(n + 2); break; }
+        }
+        counts[id]++;
+        total++;
+    }
+    int32_t n_names = ni.n_names;
+    delete[] fs; delete[] fe; delete[] slot_off; delete[] slot_id;
+    *total_out = total;
+    return err ? err : n_names;
+}
+
+// Number of '\n' bytes (row-count upper bound for csv_values).
+int64_t count_lines(const uint8_t* buf, int64_t n) {
+    int64_t c = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    while (p < end) {
+        const uint8_t* q = (const uint8_t*)memchr(p, '\n', end - p);
+        if (!q) break;
+        c++;
+        p = q + 1;
+    }
+    return c;
+}
+
+// Extract float column col_val for rows whose col_assign != "NA"
+// (density histogram input).  Same conventions as csv_tally.  Returns
+// values written, or -(byte_offset+1) on a malformed line.
+int64_t csv_values(const uint8_t* buf, int64_t n,
+                   int32_t ncols, int32_t col_val, int32_t col_assign,
+                   double* out, int64_t cap) {
+    if (ncols > 4096 || col_val >= ncols || col_assign >= ncols)
+        return -(n + 2);
+    int64_t* fs = new int64_t[ncols];
+    int64_t* fe = new int64_t[ncols];
+    int64_t i = 0, w = 0, err = 0;
+    while (i < n && !err) {
+        int32_t nf = 0;
+        int64_t line_s = i;
+        i = csv_line(buf, n, i, fs, fe, ncols, &nf);
+        if (nf == 1 && fe[0] == fs[0]) continue;
+        if (nf != ncols) {
+            if (i >= n) break;
+            err = -(line_s + 1);
+            break;
+        }
+        int64_t as = fs[col_assign], ae = fe[col_assign];
+        if (ae - as == 2 && buf[as] == 'N' && buf[as + 1] == 'A') continue;
+        if (w >= cap) { err = -(n + 2); break; }
+        out[w++] = csv_f64(buf, fs[col_val], fe[col_val]);
+    }
+    delete[] fs; delete[] fe;
+    return err ? err : w;
+}
+
 }  // extern "C"

@@ -346,14 +346,44 @@ def _count_csv_rows(path) -> int:
         return 0
 
 
+def _read_csv_header(path):
+    """(header fields, header byte length) of a result CSV."""
+    with open(path, "rb") as f:
+        header_b = f.readline()
+    return header_b.decode("utf-8", "replace").rstrip("\r\n").split(","), \
+        len(header_b)
+
+
+def _csv_body_mmap(path, header_len: int):
+    """Memory-map the data rows of a result CSV (None when empty or the
+    native module is unavailable).  mmap instead of a read(): a ladder-4
+    result file is GBs — the tally streams it through page cache without
+    holding it in RSS."""
+    import os as _os
+
+    from cuclark_tpu import native
+
+    if not native.available():
+        return None
+    size = _os.path.getsize(path)
+    if size <= header_len:
+        return None
+    import numpy as np
+
+    return np.memmap(path, dtype=np.uint8, mode="r", offset=header_len)
+
+
 def cmd_abundance(args) -> int:
     """Per-target read counts + proportions from a result CSV — the
     CLARK-side estimate_abundance summary (README.md:58-80 notes CLARK's
     scripts consume this CSV format).  With -D, the database's full
     target list seeds the report so unhit targets appear with count 0
-    (CLARK's estimate_abundance reports every DB target)."""
-    import csv as _csv
+    (CLARK's estimate_abundance reports every DB target).
 
+    Ingestion is one native pass (csrc/host_ops.cpp csv_tally) —
+    per-row Python parsing would take minutes of single-core work on a
+    100M-row ladder-4 CSV downstream of a ~30 s classify; the csv
+    module path remains as the no-compiler fallback."""
     counts: dict[str, int] = {}
     if getattr(args, "db_dir", None):
         dbp = _find_db(Path(args.db_dir))
@@ -372,31 +402,51 @@ def cmd_abundance(args) -> int:
         # confidence >= 0.75 and gamma >= 0.03
         min_conf = max(min_conf, 0.75)
         min_gamma = max(min_gamma, 0.03)
-    with open(args.results) as f:
-        reader = _csv.reader(f)
-        header = next(reader)
+    header, header_len = _read_csv_header(args.results)
+    try:
+        col = header.index("1st_assignment")
+    except ValueError:
+        print("not a cuclark result CSV", file=sys.stderr)
+        return 1
+    conf_col = header.index("confidence") if "confidence" in header else -1
+    gamma_col = header.index("Gamma") if "Gamma" in header else -1
+    buf = _csv_body_mmap(args.results, header_len) \
+        if len(header) <= 4096 else None
+    if buf is not None:
+        from cuclark_tpu import native
+
         try:
-            col = header.index("1st_assignment")
-        except ValueError:
-            print("not a cuclark result CSV", file=sys.stderr)
+            names, cnts, total = native.csv_tally(
+                buf, len(header), col, conf_col, gamma_col,
+                min_conf, min_gamma)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
             return 1
-        conf_col = header.index("confidence") if "confidence" in header else None
-        gamma_col = header.index("Gamma") if "Gamma" in header else None
-        for row in reader:
-            if not row:
-                continue
-            t = row[col]
-            # low-confidence assignments are counted as unclassified,
-            # like CLARK's estimate_abundance -c filter
-            if t != "NA":
-                if (min_conf > 0 and conf_col is not None
-                        and float(row[conf_col]) < min_conf):
-                    t = "NA"
-                elif (min_gamma > 0 and gamma_col is not None
-                        and float(row[gamma_col]) < min_gamma):
-                    t = "NA"
-            counts[t] = counts.get(t, 0) + 1
-            total += 1
+        for name, c in zip(names, cnts.tolist()):
+            if c == 0 and name not in counts:
+                continue  # the pre-interned NA id when no row was NA
+            counts[name] = counts.get(name, 0) + c
+    else:
+        import csv as _csv
+
+        with open(args.results) as f:
+            reader = _csv.reader(f)
+            next(reader)
+            for row in reader:
+                if not row:
+                    continue
+                t = row[col]
+                # low-confidence assignments are counted as
+                # unclassified, like CLARK's estimate_abundance -c
+                if t != "NA":
+                    if (min_conf > 0 and conf_col >= 0
+                            and float(row[conf_col]) < min_conf):
+                        t = "NA"
+                    elif (min_gamma > 0 and gamma_col >= 0
+                            and float(row[gamma_col]) < min_gamma):
+                        t = "NA"
+                counts[t] = counts.get(t, 0) + 1
+                total += 1
     classified = total - counts.get("NA", 0)
     print("Name,Count,Proportion_All(%),Proportion_Classified(%)")
     for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
@@ -413,28 +463,40 @@ def cmd_density(args) -> int:
     evaluate_density_gamma.sh companions (reference README.md:77-80),
     computed natively: prints `bin_start,count,fraction` histogram rows
     for assigned reads."""
-    import csv as _csv
-
     import numpy as np
 
     colname = {"confidence": "confidence", "gamma": "Gamma"}[args.by]
-    vals = []
-    with open(args.results) as f:
-        reader = _csv.reader(f)
-        header = next(reader)
+    header, header_len = _read_csv_header(args.results)
+    try:
+        col = header.index(colname)
+        acol = header.index("1st_assignment")
+    except ValueError:
+        print("not a cuclark result CSV", file=sys.stderr)
+        return 1
+    buf = _csv_body_mmap(args.results, header_len) \
+        if len(header) <= 4096 else None
+    if buf is not None:
+        from cuclark_tpu import native
+
         try:
-            col = header.index(colname)
-            acol = header.index("1st_assignment")
-        except ValueError:
-            print("not a cuclark result CSV", file=sys.stderr)
+            v = native.csv_values(buf, len(header), col, acol)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
             return 1
-        for row in reader:
-            if row and row[acol] != "NA":
-                vals.append(float(row[col]))
-    if not vals:
+    else:
+        import csv as _csv
+
+        vals = []
+        with open(args.results) as f:
+            reader = _csv.reader(f)
+            next(reader)
+            for row in reader:
+                if row and row[acol] != "NA":
+                    vals.append(float(row[col]))
+        v = np.asarray(vals, np.float64)
+    if len(v) == 0:
         print("no assigned reads", file=sys.stderr)
         return 1
-    v = np.asarray(vals)
     lo, hi = (0.5, 1.0) if args.by == "confidence" else (0.0, 1.0)
     hist, edges = np.histogram(v, bins=args.bins, range=(lo, hi))
     print(f"{args.by}_bin,count,fraction")

@@ -115,6 +115,18 @@ def _build() -> ctypes.CDLL | None:
         _I64P, _F64P, _I32P, _I32P, _I32P, _I32P, _F64P,
         _U8P, _I64P, _I64P, _U8P, _I64P,
         ctypes.c_char_p, ctypes.c_int64]
+    lib.csv_tally.restype = ctypes.c_int64
+    lib.csv_tally.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        _I64P, ctypes.c_int32, _U8P, ctypes.c_int64, _I64P,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.count_lines.restype = ctypes.c_int64
+    lib.count_lines.argtypes = [_U8P, ctypes.c_int64]
+    lib.csv_values.restype = ctypes.c_int64
+    lib.csv_values.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _F64P, ctypes.c_int64]
     return lib
 
 
@@ -427,6 +439,53 @@ def build_q4(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,
     if rc != 0:
         return None
     return table
+
+
+def csv_tally(buf: np.ndarray, ncols: int, col_assign: int,
+              col_conf: int, col_gamma: int,
+              min_conf: float, min_gamma: float,
+              max_names: int = 1 << 20):
+    """One-pass abundance tally over result-CSV bytes (header already
+    stripped): per-assignment counts with the low-confidence/low-gamma
+    -> NA filter applied natively.  Returns (names list with names[0]
+    == 'NA', counts int64 [len(names)], total_rows).
+
+    Raises ValueError on a malformed row (wrong field count)."""
+    lib = _lib()
+    buf = np.ascontiguousarray(buf, np.uint8)
+    counts = np.zeros(max_names, np.int64)
+    names_cap = 4 << 20
+    names = np.empty(names_cap, np.uint8)
+    name_off = np.zeros(max_names + 1, np.int64)
+    total = ctypes.c_int64(0)
+    r = lib.csv_tally(buf, len(buf), ncols, col_assign, col_conf,
+                      col_gamma, min_conf, min_gamma, counts, max_names,
+                      names, names_cap, name_off, ctypes.byref(total))
+    if r == -(len(buf) + 2):
+        raise ValueError("csv_tally: too many distinct assignment names")
+    if r < 0:
+        raise ValueError(f"malformed result CSV row at byte {-r - 1}")
+    blob = names.tobytes()
+    out_names = [blob[name_off[i]:name_off[i + 1]].decode("utf-8",
+                                                          "replace")
+                 for i in range(r)]
+    return out_names, counts[:r], total.value
+
+
+def csv_values(buf: np.ndarray, ncols: int, col_val: int,
+               col_assign: int) -> np.ndarray:
+    """Float column col_val of every assigned (non-NA) row of result-CSV
+    bytes (header stripped) — the density histogram input."""
+    lib = _lib()
+    buf = np.ascontiguousarray(buf, np.uint8)
+    cap = lib.count_lines(buf, len(buf)) + 1
+    out = np.empty(cap, np.float64)
+    r = lib.csv_values(buf, len(buf), ncols, col_val, col_assign, out,
+                       cap)
+    if r < 0:
+        raise ValueError(f"malformed result CSV row at byte {-r - 1}")
+    out.resize(r, refcheck=False)
+    return out
 
 
 def build_cuckoo(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,

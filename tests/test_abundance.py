@@ -80,6 +80,64 @@ def test_density_not_a_csv(tmp_path, capsys):
     assert main(["density", "-R", str(p)]) == 1
 
 
+def test_abundance_native_python_parity(csv_path, capsys, monkeypatch):
+    """The native csv_tally pass and the csv-module fallback print
+    byte-identical abundance reports (filters included)."""
+    from cuclark_tpu import native
+
+    if not native.available():
+        pytest.skip("no native module")
+    for flags in ([], ["--highconfidence"], ["--min-confidence", "0.75"]):
+        assert main(["abundance", "-R", str(csv_path)] + flags) == 0
+        nat = capsys.readouterr().out
+        monkeypatch.setattr(native, "available", lambda: False)
+        assert main(["abundance", "-R", str(csv_path)] + flags) == 0
+        monkeypatch.undo()
+        assert capsys.readouterr().out == nat
+
+
+def test_density_native_python_parity(csv_path, capsys, monkeypatch):
+    from cuclark_tpu import native
+
+    if not native.available():
+        pytest.skip("no native module")
+    for by in ("confidence", "gamma"):
+        assert main(["density", "-R", str(csv_path), "--by", by,
+                     "--bins", "7"]) == 0
+        nat = capsys.readouterr().out
+        monkeypatch.setattr(native, "available", lambda: False)
+        assert main(["density", "-R", str(csv_path), "--by", by,
+                     "--bins", "7"]) == 0
+        monkeypatch.undo()
+        assert capsys.readouterr().out == nat
+
+
+def test_abundance_malformed_row_rejected(tmp_path, capsys):
+    """A mid-file row with the wrong field count is an error, not a
+    silent miscount."""
+    from cuclark_tpu import native
+
+    if not native.available():
+        pytest.skip("no native module")
+    p = tmp_path / "bad.csv"
+    p.write_text(HEADER + "r0,100,0.9,T1,50,NA,0,1.0\n"
+                 + "r1,100,garbage\n"
+                 + "r2,100,0.9,T1,50,NA,0,1.0\n")
+    assert main(["abundance", "-R", str(p)]) == 1
+    assert "malformed" in capsys.readouterr().err
+
+
+def test_abundance_truncated_tail_tolerated(tmp_path, capsys):
+    """A crash-truncated final line (incomplete fields, no newline) is
+    ignored rather than treated as an error or a row."""
+    p = tmp_path / "t.csv"
+    p.write_text(HEADER + "r0,100,0.9,T1,50,NA,0,1.0\n" + "r1,100,0.")
+    assert main(["abundance", "-R", str(p)]) == 0
+    d = {l.split(",")[0]: l.split(",")[1]
+         for l in _lines(capsys)[1:]}
+    assert d == {"T1": "1"}
+
+
 def test_abundance_db_dir_lists_unhit_targets(csv_path, tmp_path, capsys):
     """-D seeds the report with every DB target, zero counts included."""
     import numpy as np
