@@ -275,6 +275,96 @@ def main():
             gc.collect()
         detail["e2e_reads_per_sec"] = detail["e2e_scale"]["reads_per_sec"]
 
+    # --- host-pipeline capacity, CHIP-FREE (VERDICT r04 ask #1):
+    #     measures scan+pack (feed side) and CSV formatting (drain
+    #     side) in isolation so "e2e >= 85% of the device step on a
+    #     local host" is arithmetic, not an assertion.  The reference's
+    #     equivalent overlap machinery: src/CuCLARK_hh.hh:1738-1761. ---
+    if e2e_reads and int(os.environ.get("CUCLARK_BENCH_HOST", 1)):
+        _log("host_pipeline (chip-free scan/pack/format/tally)")
+        from cuclark_tpu import native as _native
+        from cuclark_tpu.io import fast_parse
+
+        raw = np.fromfile(fq, np.uint8)
+
+        def _min_time(fn, reps_h=3):
+            fn()  # warmup (allocations, lazy native build)
+            best = float("inf")
+            for _ in range(reps_h):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            return best
+
+        scan_s = _min_time(lambda: fast_parse.scan_file(raw))
+        ns_h, ne_h, ss_h, se_h = fast_parse.scan_file(raw)
+        nrec = len(ss_h)
+
+        def _pack_all():
+            for i in range(0, nrec, chunk):
+                fast_parse.pack_block2_dispatch(
+                    raw, ss_h[i: i + chunk], se_h[i: i + chunk],
+                    read_len, n_rows=chunk)
+
+        pack_s = _min_time(_pack_all)
+
+        # drain side: format synthetic-but-plausible results for every
+        # read through the production formatter
+        rng_h = np.random.default_rng(7)
+        norm_h = np.full(nrec, read_len, np.int64)
+        gamma_h = rng_h.random(nrec)
+        ibest_h = rng_h.integers(0, scale_targets + 1,
+                                 nrec).astype(np.int32)
+        best_h = rng_h.integers(0, 120, nrec).astype(np.int32)
+        isecond_h = np.zeros(nrec, np.int32)
+        second_h = np.zeros(nrec, np.int32)
+        conf_h = rng_h.random(nrec)
+        use_native_h = _native.available()
+        if use_native_h:
+            tnb, tno = _native.pack_target_names(db_s.target_names)
+
+            def _format_all():
+                for i in range(0, nrec, chunk):
+                    s = slice(i, min(i + chunk, nrec))
+                    _native.format_rows(
+                        norm_h[s], gamma_h[s], ibest_h[s], best_h[s],
+                        isecond_h[s], second_h[s], conf_h[s],
+                        raw, ns_h[s], ne_h[s], tnb, tno)
+
+            fmt_s = _min_time(_format_all)
+        else:
+            fmt_s = float("inf")
+
+        chain_s = scan_s + pack_s + fmt_s
+        host_block = {
+            "native": use_native_h,
+            "n_reads": nrec,
+            "scan_reads_per_sec": round(nrec / scan_s, 1),
+            "pack_reads_per_sec": round(nrec / pack_s, 1),
+            "format_rows_per_sec": round(nrec / fmt_s, 1),
+            # serial worst case: the pipeline overlaps these stages
+            # across threads, so real capacity is >= this number
+            "serial_chain_reads_per_sec": round(nrec / chain_s, 1),
+            "vs_device_step": round(
+                nrec / chain_s / detail["step_reads_per_sec"], 2),
+        }
+        # downstream summarization rate (abundance tally over the e2e
+        # CSV produced above)
+        if use_native_h:
+            csv_bytes = np.fromfile(td / "out.csv", np.uint8)
+            nl0 = int(np.argmax(csv_bytes == ord("\n"))) + 1
+            body = csv_bytes[nl0:]
+            t_t = _min_time(lambda: _native.csv_tally(
+                body, 8, 3, 7, 2, 0.0, 0.0), 2)
+            _, _, rows_t = _native.csv_tally(body, 8, 3, 7, 2, 0.0, 0.0)
+            host_block["tally_rows_per_min"] = int(rows_t / t_t * 60)
+        detail["host_pipeline"] = host_block
+        _log(f"host chain {host_block['serial_chain_reads_per_sec']:,.0f}"
+             f" reads/s serial ({host_block['vs_device_step']}x device"
+             f" step)")
+        del raw
+        gc.collect()
+
     # --- resident vs streamed DB at the 1 GB config (swap-cycle
     #     analog; round-2's promised "within ~2x" number) ---
     if e2e_reads and int(os.environ.get("CUCLARK_BENCH_STREAM", 1)):
