@@ -365,6 +365,56 @@ def main():
         del raw
         gc.collect()
 
+    # --- classification accuracy on wgsim-style error reads (the one
+    #     non-parity correctness check; reference QA inputs are the
+    #     HiSeq/MiSeq accuracy sets, data/README.md:1-21) ---
+    acc_reads = int(os.environ.get("CUCLARK_BENCH_ACC_READS", 50_000))
+    if acc_reads:
+        _log(f"accuracy ({acc_reads} simulated reads, 1% sub + 0.2% "
+             f"indel)")
+        import random as _random
+
+        from cuclark_tpu import simulate as _sim
+        from cuclark_tpu.db_build.builder import (build_db,
+                                                  parse_targets_file)
+
+        _rng_py = _random.Random(13)
+        acc_genomes = {
+            f"G{t}": "".join(_rng_py.choice("ACGT")
+                             for _ in range(200_000))
+            for t in range(1, 9)}
+        tlines = []
+        for t, g in acc_genomes.items():
+            p = td / f"acc_{t}.fa"
+            p.write_text(f">{t}\n{g}\n")
+            tlines.append(f"{p} {t}")
+        (td / "acc_targets.txt").write_text("\n".join(tlines) + "\n")
+        db_a = build_db(parse_targets_file(td / "acc_targets.txt"),
+                        DBConfig(k=31, target_load=0.7))
+        names_a, seqs_a = _sim.simulate_reads(
+            acc_genomes, acc_reads, read_len, sub_rate=0.01,
+            ins_rate=0.001, del_rate=0.001, seed=99)
+        _sim.write_fastq(td / "acc.fq", names_a, seqs_a)
+        clf_a = Classifier(db_a, ClassifyConfig(batch_reads=chunk))
+        clf_a.classify_file_to_csv(td / "acc.fq", td / "acc.csv")
+        res_a = _sim.evaluate_assignments(td / "acc.csv")
+        o = res_a["overall"]
+        detail["accuracy"] = {
+            "n_reads": acc_reads,
+            "sub_rate": 0.01, "indel_rate": 0.002,
+            "db_kmers": int(db_a.num_kmers),
+            "recall": round(o["recall"], 4),
+            "precision": round(o["precision"], 4),
+            "unclassified": round(o["unclassified"], 4),
+            "min_target_recall": round(
+                min(d["recall"] for d in res_a["per_target"].values()),
+                4),
+        }
+        _log(f"accuracy: recall={o['recall']:.4f} "
+             f"precision={o['precision']:.4f}")
+        del db_a, clf_a
+        gc.collect()
+
     # --- resident vs streamed DB at the 1 GB config (swap-cycle
     #     analog; round-2's promised "within ~2x" number) ---
     if e2e_reads and int(os.environ.get("CUCLARK_BENCH_STREAM", 1)):

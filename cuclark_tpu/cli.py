@@ -507,6 +507,66 @@ def cmd_density(args) -> int:
     return 0
 
 
+def cmd_simulate_reads(args) -> int:
+    """wgsim-style synthetic accuracy reads (the reference's sanctioned
+    QA inputs — data/README.md:1-21 ships HiSeq/MiSeq accuracy sets and
+    wgsim-simulated reads with truth in the names)."""
+    from cuclark_tpu import simulate
+    from cuclark_tpu.db_build.builder import parse_targets_file
+    from cuclark_tpu.io import fast_parse
+    from cuclark_tpu.pipeline import _read_file_bytes
+
+    genomes: dict[str, list[str]] = {}
+    for fpath, label, _ in parse_targets_file(args.targets):
+        buf = _read_file_bytes(fpath)
+        _, _, ss, se = fast_parse.scan_file(buf)
+        genomes.setdefault(label, []).extend(
+            buf[s:e].tobytes().decode("ascii", "replace")
+            for s, e in zip(ss, se))
+    if args.paired_output:
+        names, s1, s2 = simulate.simulate_reads(
+            genomes, args.num_reads, args.read_len, args.sub_rate,
+            args.ins_rate, args.del_rate, args.seed, paired=True)
+        simulate.write_fastq(args.output, names, s1)
+        simulate.write_fastq(args.paired_output, names, s2)
+    else:
+        names, seqs = simulate.simulate_reads(
+            genomes, args.num_reads, args.read_len, args.sub_rate,
+            args.ins_rate, args.del_rate, args.seed)
+        simulate.write_fastq(args.output, names, seqs)
+    print(f"Wrote {args.num_reads} simulated reads "
+          f"(sub={args.sub_rate}, ins={args.ins_rate}, "
+          f"del={args.del_rate}) to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """Classification accuracy vs name-embedded truth: per-target
+    precision/recall/unclassified of a result CSV produced from
+    simulate-reads input (or any reads whose Object_IDs end in
+    '|<truth_label>')."""
+    from cuclark_tpu import simulate
+
+    res = simulate.evaluate_assignments(args.results)
+    print("Target,Reads,Assigned,Recall,Precision,Unclassified")
+    for t, d in res["per_target"].items():
+        print(f"{t},{d['reads']},{d['assigned']},{d['recall']:.4f},"
+              f"{d['precision']:.4f},{d['unclassified']:.4f}")
+    o = res["overall"]
+    print(f"OVERALL,{o['reads']},,{o['recall']:.4f},{o['precision']:.4f},"
+          f"{o['unclassified']:.4f}")
+    rc = 0
+    if args.min_recall is not None and o["recall"] < args.min_recall:
+        print(f"FAIL: overall recall {o['recall']:.4f} < "
+              f"{args.min_recall}", file=sys.stderr)
+        rc = 1
+    if args.min_precision is not None and o["precision"] < args.min_precision:
+        print(f"FAIL: overall precision {o['precision']:.4f} < "
+              f"{args.min_precision}", file=sys.stderr)
+        rc = 1
+    return rc
+
+
 def cmd_analyze(args) -> int:
     """Spectrum bump-interval analysis (the reference's analyser,
     src/analyser.cc:46-137, wired live): prints the multiplicity
@@ -831,6 +891,35 @@ def main(argv=None) -> int:
                     choices=["species", "genus", "family", "order", "class", "phylum", "custom"])
     st.add_argument("--taxonomy-dir", help="dir with nodes.dmp / accession2taxid")
     st.set_defaults(fn=cmd_set_targets)
+
+    sr = sub.add_parser("simulate-reads",
+                        help="generate wgsim-style error-bearing reads "
+                             "from target genomes (truth in read names)")
+    sr.add_argument("-T", "--targets", required=True,
+                    help="targets definition file: '<seqfile> <label>'")
+    sr.add_argument("-O", "--output", required=True, help="output FASTQ")
+    sr.add_argument("--paired-output", default=None,
+                    help="mate-2 FASTQ (enables paired simulation)")
+    sr.add_argument("-n", "--num-reads", type=int, default=10000)
+    sr.add_argument("-l", "--read-len", type=int, default=100)
+    sr.add_argument("--sub-rate", type=float, default=0.01,
+                    help="per-base substitution rate [0.01]")
+    sr.add_argument("--ins-rate", type=float, default=0.001,
+                    help="per-base insertion rate [0.001]")
+    sr.add_argument("--del-rate", type=float, default=0.001,
+                    help="per-base deletion rate [0.001]")
+    sr.add_argument("--seed", type=int, default=0)
+    sr.set_defaults(fn=cmd_simulate_reads)
+
+    ev = sub.add_parser("evaluate",
+                        help="precision/recall of a result CSV against "
+                             "name-embedded truth labels")
+    ev.add_argument("-R", "--results", required=True)
+    ev.add_argument("--min-recall", type=float, default=None,
+                    help="exit 1 when overall recall is below this")
+    ev.add_argument("--min-precision", type=float, default=None,
+                    help="exit 1 when overall precision is below this")
+    ev.set_defaults(fn=cmd_evaluate)
 
     an = sub.add_parser("analyze",
                         help="detect the solid-kmer multiplicity bump of "

@@ -1,0 +1,146 @@
+"""Classification-accuracy harness (the one non-parity correctness
+check): wgsim-style simulated reads with substitution/indel errors must
+come back assigned to their source genomes with high precision/recall
+(reference QA inputs: data/README.md:1-21, HiSeq/MiSeq accuracy sets,
+wgsim-simulated reads)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from cuclark_tpu import simulate
+from cuclark_tpu.cli import main
+
+
+def _random_genomes(n, length, seed=11):
+    rng = random.Random(seed)
+    return {f"G{t}": "".join(rng.choice("ACGT") for _ in range(length))
+            for t in range(1, n + 1)}
+
+
+def test_mutate_substitution_rate():
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 4, size=(200, 112)).astype(np.uint8)
+    out = simulate.mutate_codes(rows, 100, rng, sub_rate=0.05,
+                                ins_rate=0.0, del_rate=0.0)
+    assert out.shape == (200, 100)
+    frac = (out != rows[:, :100]).mean()
+    # every substitution changes the base, so the observed hamming
+    # fraction estimates the rate directly
+    assert 0.03 < frac < 0.07
+
+
+def test_mutate_deletion_shifts_left():
+    rng = np.random.default_rng(1)
+    rows = np.tile(np.arange(16, dtype=np.uint8) % 4, (1, 2))[:, :20]
+    rows = np.arange(20, dtype=np.uint8).reshape(1, 20) % 4
+    out = simulate.mutate_codes(rows, 16, rng, sub_rate=0.0,
+                                ins_rate=0.0, del_rate=0.5)
+    # high del rate on a 16-base read: at least one deletion happened,
+    # so the tail pulls pad bases in and the row is a subsequence of
+    # the original window
+    orig = (np.arange(20) % 4).tolist()
+    o = out[0].tolist()
+    it = iter(orig)
+    assert all(any(b == x for x in it) for b in o)  # subsequence check
+
+
+def test_simulate_reads_truth_names():
+    genomes = _random_genomes(3, 3000)
+    names, seqs = simulate.simulate_reads(genomes, 50, 80, seed=3)
+    assert len(names) == len(seqs) == 50
+    assert all(simulate.truth_of_name(n) in genomes for n in names)
+    assert all(len(s) == 80 for s in seqs)
+    # zero error rate reproduces exact substrings
+    names0, seqs0 = simulate.simulate_reads(genomes, 20, 60, 0.0, 0.0,
+                                            0.0, seed=4)
+    for n, s in zip(names0, seqs0):
+        assert s in genomes[simulate.truth_of_name(n)]
+
+
+def test_multi_record_no_chimeras(tmp_path):
+    """Windows never span record boundaries."""
+    genomes = {"A": ["AC" * 200, "GT" * 200]}
+    names, seqs = simulate.simulate_reads(genomes, 40, 50, 0.0, 0.0,
+                                          0.0, seed=5)
+    for s in seqs:
+        assert s in "AC" * 200 or s in "GT" * 200
+
+
+@pytest.fixture(scope="module")
+def acc_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("acc")
+    genomes = _random_genomes(4, 20000)
+    lines = []
+    for t, g in genomes.items():
+        p = tmp / f"{t}.fa"
+        p.write_text(f">{t}\n{g}\n")
+        lines.append(f"{p} {t}")
+    (tmp / "targets.txt").write_text("\n".join(lines) + "\n")
+    rc = main(["build-db", "-T", str(tmp / "targets.txt"),
+               "-D", str(tmp / "db"), "-k", "27"])
+    assert rc == 0
+    return tmp, genomes
+
+
+def test_accuracy_floors_1pct(acc_setup):
+    """1% substitutions + 0.2% indels: recall >= 0.97, precision >=
+    0.99 on orthogonal random genomes (a symmetric canonicalization or
+    discrimination bug would crater these, while parity tests would
+    still pass)."""
+    tmp, genomes = acc_setup
+    rc = main(["simulate-reads", "-T", str(tmp / "targets.txt"),
+               "-O", str(tmp / "sim.fq"), "-n", "3000", "-l", "100",
+               "--sub-rate", "0.01", "--ins-rate", "0.001",
+               "--del-rate", "0.001", "--seed", "42"])
+    assert rc == 0
+    rc = main(["classify", "-D", str(tmp / "db"),
+               "-O", str(tmp / "sim.fq"), "-R", str(tmp / "sim.csv")])
+    assert rc == 0
+    res = simulate.evaluate_assignments(tmp / "sim.csv")
+    o = res["overall"]
+    assert o["reads"] == 3000
+    assert o["recall"] >= 0.97, res
+    assert o["precision"] >= 0.99, res
+    assert o["unclassified"] <= 0.03, res
+    for t, d in res["per_target"].items():
+        assert d["recall"] >= 0.95, (t, d)
+
+
+def test_accuracy_floors_2pct_and_cli(acc_setup, capsys):
+    """2% substitutions still classify nearly all reads; the evaluate
+    CLI enforces floors."""
+    tmp, genomes = acc_setup
+    main(["simulate-reads", "-T", str(tmp / "targets.txt"),
+          "-O", str(tmp / "sim2.fq"), "-n", "2000", "-l", "100",
+          "--sub-rate", "0.02", "--seed", "7"])
+    main(["classify", "-D", str(tmp / "db"),
+          "-O", str(tmp / "sim2.fq"), "-R", str(tmp / "sim2.csv")])
+    capsys.readouterr()  # drain classify's progress output
+    assert main(["evaluate", "-R", str(tmp / "sim2.csv"),
+                 "--min-recall", "0.93", "--min-precision", "0.99"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "Target,Reads,Assigned,Recall,Precision,Unclassified"
+    assert any(line.startswith("OVERALL,2000,") for line in out)
+    # an impossible floor fails loudly
+    assert main(["evaluate", "-R", str(tmp / "sim2.csv"),
+                 "--min-recall", "1.01"]) == 1
+
+
+def test_accuracy_paired(acc_setup):
+    """Paired mates simulate from one insert and classify to the same
+    truth target."""
+    tmp, genomes = acc_setup
+    rc = main(["simulate-reads", "-T", str(tmp / "targets.txt"),
+               "-O", str(tmp / "p1.fq"),
+               "--paired-output", str(tmp / "p2.fq"),
+               "-n", "1000", "-l", "80", "--seed", "9"])
+    assert rc == 0
+    rc = main(["classify", "-D", str(tmp / "db"),
+               "-P", str(tmp / "p1.fq"), str(tmp / "p2.fq"),
+               "-R", str(tmp / "p.csv")])
+    assert rc == 0
+    res = simulate.evaluate_assignments(tmp / "p.csv")
+    assert res["overall"]["recall"] >= 0.97, res
+    assert res["overall"]["precision"] >= 0.99, res
