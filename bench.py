@@ -141,7 +141,10 @@ def main():
         """cache_tag: persist/reuse the built synthetic DB on disk —
         the 256M-kmer gen+build costs ~4 min and is identical across
         runs (seeded rng); only construction is skipped, never a
-        measurement.  db_build_s < 0 marks a cache hit."""
+        measurement.  The one-time build cost rides along in a sidecar
+        so cached runs still report the real number (VERDICT r04 ask
+        #4a); db_build_s < 0 only when the sidecar is missing.
+        Returns (db, build_s, cached)."""
         from pathlib import Path as _P
 
         from cuclark_tpu.hashdb import KmerDB
@@ -156,7 +159,13 @@ def main():
                        f"_{num_targets}_{cfg.k}.npz")
             if cache.exists():
                 try:
-                    return KmerDB.load(cache), -1.0
+                    db = KmerDB.load(cache)
+                    meta = cache.with_suffix(".meta.json")
+                    build_s = -1.0
+                    if meta.exists():
+                        build_s = float(json.loads(
+                            meta.read_text()).get("build_s", -1.0))
+                    return db, build_s, True
                 except Exception:
                     cache.unlink()
         # dedicated, config-seeded rng: a cache hit skips the draws, so
@@ -175,11 +184,13 @@ def main():
         if cache is not None:
             try:
                 db.save(cache)
+                cache.with_suffix(".meta.json").write_text(
+                    json.dumps({"build_s": dt}))
             except Exception:
                 pass
-        return db, dt
+        return db, dt, False
 
-    def step_block(db, build_s, n_label):
+    def step_block(db, build_s, n_label, cached=False):
         """Device-step measurement on the production probe mode."""
         main_np, stash_np = db.split_tables()
         tbl = jnp.asarray(main_np)
@@ -196,6 +207,10 @@ def main():
             "step_ms": round(dt / len(dev_chunks) * 1e3, 2),
             "reads_per_sec": round(rps, 1),
         }
+        if cached:
+            # table construction skipped this run; db_build_s is the
+            # one-time cost recorded when the cache was built
+            block["db_build_cached"] = True
         _log(f"{n_label}: {rps:,.0f} reads/s "
              f"({block['table_mb']} MB table)")
         del tbl, stash_dev
@@ -204,7 +219,7 @@ def main():
 
     # --- HEADLINE: at-scale device step (RefSeq-bacteria-shaped) ---
     _log(f"building at-scale table ({scale_kmers} kmers)")
-    db_s, scale_build = synth_db(scale_kmers, scale_targets, 0.85)
+    db_s, scale_build, _ = synth_db(scale_kmers, scale_targets, 0.85)
     _log("at-scale warmup compile")
     rps_scale, blk = step_block(db_s, scale_build, "at-scale")
     detail.update({
@@ -219,7 +234,7 @@ def main():
 
     # --- small-table device step (r01/r02 headline config) ---
     _log("small-table step")
-    db, build_s = synth_db(n_kmers, n_targets, 0.7)
+    db, build_s, _ = synth_db(n_kmers, n_targets, 0.7)
     _, small_blk = step_block(db, build_s, "small")
     small_blk["n_targets"] = n_targets
     detail["small"] = small_blk
@@ -429,30 +444,47 @@ def main():
                   + (stash_np.nbytes if stash_np is not None else 0)) / 1e6
         clf = Classifier(db_s, ClassifyConfig(
             batch_reads=chunk, max_table_mb=budget + 1))
-        blk = e2e_times(clf, fq_s, td / "outs.csv", s_reads, passes=2)
+
+        # Streaming re-uploads the whole main table once per
+        # stream_group batches; on a remote-relay H2D link the pass is
+        # bandwidth-bound, and the link rate varies ORDER-OF-MAGNITUDE
+        # minute to minute (38 -> 1300 MB/s observed across rounds).
+        # Measure it immediately before AND after the timed passes with
+        # DISTINCT incompressible buffers (a relay may dedupe/compress
+        # repeated zero pages) so the upload-bound floor is
+        # contemporaneous with the passes it bounds.
+        def h2d_rate():
+            h2d_mb = 64
+            best = float("inf")
+            for _ in range(2):
+                big = rng.integers(0, 256, (h2d_mb, 1 << 20),
+                                   dtype=np.uint8)
+                t0 = time.time()
+                jnp.asarray(big).block_until_ready()
+                best = min(best, time.time() - t0)
+            return h2d_mb / best
+
+        jnp.asarray(np.ones(8, np.uint8)).block_until_ready()  # wake
+        rate_before = h2d_rate()
+        blk = e2e_times(clf, fq_s, td / "outs.csv", s_reads, passes=3)
+        rate_after = h2d_rate()
         blk["stream_parts"] = clf.stream_parts
         blk["ratio_vs_resident"] = round(
             detail["e2e_scale"]["reads_per_sec"] / blk["reads_per_sec"], 2)
-        # context: streaming re-uploads the whole main table once per
-        # stream_group batches; on a remote-relay H2D link the ratio is
-        # bandwidth-bound, so record the measured link rate with it
-        h2d_mb = 64
-        big = np.zeros((h2d_mb, 1 << 20), np.uint8)
-        jnp.asarray(big).block_until_ready()
-        t_h = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            jnp.asarray(big).block_until_ready()
-            t_h = min(t_h, time.time() - t0)
-        blk["h2d_mb_per_s"] = round(h2d_mb / t_h, 1)
+        blk["h2d_mb_per_s"] = round(min(rate_before, rate_after), 1)
+        blk["h2d_mb_per_s_before"] = round(rate_before, 1)
+        blk["h2d_mb_per_s_after"] = round(rate_after, 1)
         blk["stream_group"] = clf.stream_group_eff
         groups = -(-s_reads // (chunk * clf.stream_group_eff))
         blk["upload_gb_per_pass"] = round(
             groups * main_np.nbytes / 1e9, 2)
+        # conservative floor: the SLOWER of the two link samples
         blk["upload_bound_s"] = round(
             groups * main_np.nbytes / 1e6 / blk["h2d_mb_per_s"], 1)
+        blk["ratio_to_upload_bound"] = round(
+            min(blk["pass_s"]) / max(blk["upload_bound_s"], 1e-9), 2)
         detail["stream_ratio"] = blk
-        del clf, main_np, stash_np, big
+        del clf, main_np, stash_np
         gc.collect()
 
     # --- global-mesh path vs plain path (single process; round-2's
@@ -494,7 +526,7 @@ def main():
         _log(f"light_paired ({paired_reads} mate pairs)")
         lk = 27
         lcfg = DBConfig(k=lk, gap=4, target_load=0.7)
-        db_l, build_l = synth_db(
+        db_l, build_l, _ = synth_db(
             int(os.environ.get("CUCLARK_BENCH_LIGHT_KMERS", 32_000_000)),
             1024, 0.7, kcfg=lcfg)
         mlen = read_len // 2
@@ -523,10 +555,10 @@ def main():
     # --- ladder 3 literal point: the ~4 GB DB (256M k-mers) ---
     if g4_kmers:
         _log(f"scale4g: building {g4_kmers} kmers (widened qs table)")
-        db4, build4 = synth_db(g4_kmers, scale_targets, 0.85,
-                               cache_tag="4g")
+        db4, build4, cached4 = synth_db(g4_kmers, scale_targets, 0.85,
+                                        cache_tag="4g")
         _log("scale4g warmup compile")
-        _, blk4 = step_block(db4, build4, "scale4g")
+        _, blk4 = step_block(db4, build4, "scale4g", cached=cached4)
         blk4["n_targets"] = scale_targets
         detail["scale4g"] = blk4
         del db4
@@ -535,18 +567,20 @@ def main():
     td_ctx.cleanup()
 
     # --- out-of-core build probe (spill path; fresh-process RSS) ---
-    build_mb = int(os.environ.get("CUCLARK_BENCH_BUILD_MB", 48))
+    # Default: the README's literal claim — 320M occurrences under a
+    # 4 GB occurrence budget (VERDICT r04 ask #4b; occurrence bytes
+    # 16 B/base = 5.1 GB > budget, so the disk-shard path runs).
+    build_mb = int(os.environ.get("CUCLARK_BENCH_BUILD_MB", 320))
     if build_mb:
-        _log(f"spill-path build probe ({build_mb} Mbases, subprocess)")
+        ram_mb = int(os.environ.get("CUCLARK_BENCH_BUILD_RAM_MB", 4096))
+        _log(f"spill-path build probe ({build_mb} Mbases / {ram_mb} MB "
+             f"budget, subprocess)")
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
         try:
             from bench_build_scale import run_subprocess as build_run
 
-            # budget sized to ~1/3 of the occurrence bytes forces the
-            # disk-shard path
-            detail["build_spill"] = build_run(
-                build_mb, ram_mb=int(build_mb * 16 / 3))
+            detail["build_spill"] = build_run(build_mb, ram_mb=ram_mb)
         except Exception as e:  # pragma: no cover - probe is best-effort
             detail["build_spill"] = {"error": str(e)}
 

@@ -232,6 +232,7 @@ class Classifier:
         self._sharded = None
         self.mesh = None
         self.stash = None  # qs split mode: resident stash device array
+        self._upload_pool = None  # lazy 1-thread part-upload executor
         self.stream_group_eff = self.cfg.stream_group
         # Effective per-device budget: explicit --max-table-mb, else the
         # measured device HBM (reference free-VRAM probe + RESERVED,
@@ -743,10 +744,26 @@ class Classifier:
             # all parts/groups and is probed on part 0's call only
             self._stash_part = put_rows(self.np_stash)
 
+        # Part p+1 uploads on a dedicated thread while part p's probes
+        # dispatch: a device_put can block its CALLING thread for the
+        # whole transfer (observed seconds per part through a remote
+        # relay), which would serialize uploads with compute dispatch
+        # and push the pass toward upload+compute instead of
+        # max(upload, compute) — the async-swap overlap of the
+        # reference (src/CuClarkDB.cu:813-858), done host-side.  Only
+        # the put runs off-thread; every jitted step call stays on the
+        # main thread in program order (multi-process lockstep safety).
+        if self._upload_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._upload_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="cuclark-part-upload")
         acc = [None] * len(dev)
-        nxt = upload(0)
+        nxt = self._upload_pool.submit(upload, 0)
         for p in range(P):
-            part, nxt = nxt, (upload(p + 1) if p + 1 < P else None)
+            part = nxt.result()
+            nxt = (self._upload_pool.submit(upload, p + 1)
+                   if p + 1 < P else None)
             for gi, (p2, vb) in enumerate(dev):
                 if on_mesh:
                     if split and p == 0:
