@@ -257,7 +257,8 @@ class GlobalClassifier:
         from cuclark_tpu.io import fast_parse
         from cuclark_tpu.io.csv_out import format_row, header_line
         from cuclark_tpu.parallel.mesh import ShardedClassifier
-        from cuclark_tpu.pipeline import (CsvSink, _read_file_bytes,
+        from cuclark_tpu.pipeline import (CsvSink, _prefetch,
+                                          _read_file_bytes,
                                           _shard_prefetch)
 
         db, cfg, clf = self.db, self.cfg, self.clf
@@ -391,6 +392,12 @@ class GlobalClassifier:
                     while len(futs) > 3:
                         futs.popleft().result()
 
+                # Packing runs on a prefetch thread (bounded queue, order
+                # preserved) so scan/pack of batch i+1 overlaps dispatch
+                # and CSV formatting of batch i — single-host parity; the
+                # generator touches only host arrays, so the lockstep
+                # rule (jax dispatch order identical on every rank) is
+                # unaffected.
                 if clf.stream_parts > 1:
                     def flush_group(group):
                         outs = clf._stream_group_dev(
@@ -400,7 +407,7 @@ class GlobalClassifier:
                             submit((r, lab, ns_g, ne_g, len_g, cnt_g))
 
                     group = []
-                    for wire, ns, ne, lengths, cnt in batches():
+                    for wire, ns, ne, lengths, cnt in _prefetch(batches()):
                         group.append((wire, ns, ne, lengths, cnt))
                         if len(group) >= clf.stream_group_eff:
                             flush_group(group)
@@ -409,7 +416,8 @@ class GlobalClassifier:
                         flush_group(group)
                 else:
                     inflight = deque()
-                    for (p2, vb), ns, ne, lengths, cnt in batches():
+                    for (p2, vb), ns, ne, lengths, cnt in _prefetch(
+                            batches()):
                         results_dev, labels_dev = self.sc.step_packed(
                             p2, vb)
                         _shard_prefetch(results_dev, labels_dev)
