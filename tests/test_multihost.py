@@ -190,7 +190,8 @@ def test_two_process_distributed_cli(tmp_path):
         f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
     main(["build-db", "-T", str(tmp_path / "targets.txt"),
           "-D", str(tmp_path / "db"), "-k", "21"])
-    main(["classify", "-D", str(tmp_path / "db"),
+    # extended mode: exercises the cross-rank hit-stats allgather too
+    main(["classify", "-D", str(tmp_path / "db"), "--extended",
           "-O", str(tmp_path / "r.fq"), "-R", str(tmp_path / "plain.csv")])
 
     with socket.socket() as s:
@@ -211,7 +212,7 @@ def test_two_process_distributed_cli(tmp_path):
     for rank in range(2):
         procs.append(subprocess.Popen(
             [sys.executable, "-c", driver,
-             "classify", "-D", str(tmp_path / "db"),
+             "classify", "-D", str(tmp_path / "db"), "--extended",
              "-O", str(tmp_path / "r.fq"), "-R", str(out_csv),
              "--coordinator", f"127.0.0.1:{port}",
              "--num-processes", "2", "--process-id", str(rank),
@@ -231,6 +232,29 @@ def test_two_process_distributed_cli(tmp_path):
     merged = ((tmp_path / "mp.csv.h000").read_bytes()
               + (tmp_path / "mp.csv.h001").read_bytes())
     assert merged == (tmp_path / "plain.csv").read_bytes()
+    # rank 0 prints ONE global hit-stats line covering BOTH ranks' rows
+    # (single-host run prints the identical line for the same input)
+    import re
+
+    def stats_line(err_bytes):
+        m = re.search(rb"MIN targets: .*", err_bytes)
+        return m.group(0) if m else None
+
+    line = stats_line(outs[0][2])
+    assert line is not None
+    assert stats_line(outs[1][2]) is None  # only rank 0 prints
+    # the printed global stats must match recomputation over BOTH
+    # ranks' rows (columns 1..n_targets of the extended CSV are the
+    # per-target hit counts)
+    rows = [r.split(",") for r in merged.decode().splitlines()[1:]]
+    distinct = [sum(int(c) > 0 for c in r[1:3]) for r in rows]
+    m = re.match(rb"MIN targets: (\d+), MAX targets: (\d+), "
+                 rb"AVG targets: ([\d.]+)", line)
+    assert m, line
+    assert int(m.group(1)) == min(distinct)
+    assert int(m.group(2)) == max(distinct)
+    assert abs(float(m.group(3))
+               - sum(distinct) / len(distinct)) < 1e-4
 
 
 def test_two_process_distributed_paired(tmp_path):
