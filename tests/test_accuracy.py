@@ -128,6 +128,46 @@ def test_accuracy_floors_2pct_and_cli(acc_setup, capsys):
                  "--min-recall", "1.01"]) == 1
 
 
+def test_shared_region_reads_unclassified(tmp_path):
+    """Discrimination accuracy: two targets share a spliced region;
+    reads wholly inside it have NO target-specific k-mers and must be
+    NA, while unique-region reads assign correctly (RemoveCommon
+    semantics measured end to end, not just via parity)."""
+    rng = random.Random(23)
+    shared = "".join(rng.choice("ACGT") for _ in range(4000))
+    uniq = {t: "".join(rng.choice("ACGT") for _ in range(8000))
+            for t in ("A", "B")}
+    lines = []
+    for t, u in uniq.items():
+        p = tmp_path / f"{t}.fa"
+        p.write_text(f">{t}\n{shared + u}\n")
+        lines.append(f"{p} {t}")
+    (tmp_path / "targets.txt").write_text("\n".join(lines) + "\n")
+    assert main(["build-db", "-T", str(tmp_path / "targets.txt"),
+                 "-D", str(tmp_path / "db"), "-k", "27"]) == 0
+    reads = []
+    for i in range(200):  # wholly inside the shared prefix
+        pos = rng.randrange(0, 4000 - 100)
+        reads.append((f"s{i}|NA", shared[pos: pos + 100]))
+    for i in range(200):  # wholly inside a unique suffix
+        t = "A" if i % 2 else "B"
+        pos = rng.randrange(0, 8000 - 100)
+        reads.append((f"u{i}|{t}", uniq[t][pos: pos + 100]))
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads))
+    assert main(["classify", "-D", str(tmp_path / "db"),
+                 "-O", str(tmp_path / "r.fq"),
+                 "-R", str(tmp_path / "o.csv")]) == 0
+    res = simulate.evaluate_assignments(tmp_path / "o.csv")
+    # shared-region reads: all unclassified (their truth label "NA"
+    # never appears as an assignment target)
+    assert res["per_target"]["NA"]["unclassified"] == 1.0
+    # unique-region reads: perfect assignment (no errors injected)
+    assert res["per_target"]["A"]["recall"] == 1.0
+    assert res["per_target"]["B"]["recall"] == 1.0
+    assert res["per_target"]["A"]["precision"] == 1.0
+
+
 def test_accuracy_paired(acc_setup):
     """Paired mates simulate from one insert and classify to the same
     truth target."""
