@@ -18,7 +18,7 @@ from cuclark_tpu.config import ClassifyConfig, DBConfig
 from cuclark_tpu.hashdb import KmerDB
 from cuclark_tpu.pipeline import Classifier
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "ClassifyConfig",
