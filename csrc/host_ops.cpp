@@ -825,14 +825,22 @@ static inline int64_t csv_line(const uint8_t* buf, int64_t n, int64_t i,
 }
 
 // Locale-safe float field parse (field is NOT null-terminated and may
-// abut a page boundary at EOF: copy to a stack buffer first).
-static inline double csv_f64(const uint8_t* buf, int64_t s, int64_t e) {
+// abut a page boundary at EOF: copy to a stack buffer first).  *ok is
+// cleared when the field is empty, oversized, or not fully numeric —
+// a corrupt confidence/gamma value must surface as a malformed-row
+// error, not silently compare as 0.0 (the csv-module fallback raises
+// on float('garbage'); the native path must match).
+static inline double csv_f64(const uint8_t* buf, int64_t s, int64_t e,
+                             bool* ok) {
     char tmp[64];
     int64_t len = e - s;
-    if (len <= 0 || len >= (int64_t)sizeof(tmp)) return 0.0;
+    if (len <= 0 || len >= (int64_t)sizeof(tmp)) { *ok = false; return 0.0; }
     memcpy(tmp, buf + s, (size_t)len);
     tmp[len] = 0;
-    return strtod(tmp, nullptr);
+    char* end = tmp;
+    double v = strtod(tmp, &end);
+    if (end != tmp + len) *ok = false;
+    return v;
 }
 
 // Open-addressing name interner over (offset,len) byte slices.
@@ -918,20 +926,23 @@ int64_t csv_tally(const uint8_t* buf, int64_t n,
             break;
         }
         int64_t as = fs[col_assign], ae = fe[col_assign];
+        bool ok = true;
         int32_t id;
         if (ae - as == 2 && buf[as] == 'N' && buf[as + 1] == 'A') {
             id = 0;
         } else if (min_conf > 0 && col_conf >= 0
-                   && csv_f64(buf, fs[col_conf], fe[col_conf]) < min_conf) {
+                   && csv_f64(buf, fs[col_conf], fe[col_conf], &ok)
+                          < min_conf) {
             id = 0;
         } else if (min_gamma > 0 && col_gamma >= 0
-                   && csv_f64(buf, fs[col_gamma], fe[col_gamma])
+                   && csv_f64(buf, fs[col_gamma], fe[col_gamma], &ok)
                           < min_gamma) {
             id = 0;
         } else {
             id = ni_get(&ni, buf + as, ae - as);
             if (id < 0) { err = -(n + 2); break; }
         }
+        if (!ok) { err = -(line_s + 1); break; }
         counts[id]++;
         total++;
     }
@@ -979,7 +990,10 @@ int64_t csv_values(const uint8_t* buf, int64_t n,
         int64_t as = fs[col_assign], ae = fe[col_assign];
         if (ae - as == 2 && buf[as] == 'N' && buf[as + 1] == 'A') continue;
         if (w >= cap) { err = -(n + 2); break; }
-        out[w++] = csv_f64(buf, fs[col_val], fe[col_val]);
+        bool ok = true;
+        out[w] = csv_f64(buf, fs[col_val], fe[col_val], &ok);
+        if (!ok) { err = -(line_s + 1); break; }
+        w++;
     }
     delete[] fs; delete[] fe;
     return err ? err : w;

@@ -342,6 +342,16 @@ def _count_csv_rows(path) -> int:
                 f.truncate(last_nl + 1)  # 0 when no newline exists at all
             f.seek(0)
             return max(0, sum(1 for _ in f) - 1)
+    except PermissionError:
+        # readable-but-not-writable file: count only COMPLETE lines
+        # (no truncation possible — the later append will fail with a
+        # clear error anyway, but the count itself must not be 0)
+        try:
+            with open(path, "rb") as f:
+                return max(0, sum(1 for line in f
+                                  if line.endswith(b"\n")) - 1)
+        except OSError:
+            return 0
     except OSError:
         return 0
 
@@ -418,7 +428,7 @@ def cmd_abundance(args) -> int:
         try:
             names, cnts, total = native.csv_tally(
                 buf, len(header), col, conf_col, gamma_col,
-                min_conf, min_gamma)
+                min_conf, min_gamma, offset0=header_len)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1
@@ -429,24 +439,39 @@ def cmd_abundance(args) -> int:
     else:
         import csv as _csv
 
+        def process(row):
+            nonlocal total
+            if len(row) != len(header):
+                raise ValueError("malformed result CSV row "
+                                 f"(fields {len(row)} != {len(header)})")
+            t = row[col]
+            # low-confidence assignments are counted as unclassified,
+            # like CLARK's estimate_abundance -c
+            if t != "NA":
+                if (min_conf > 0 and conf_col >= 0
+                        and float(row[conf_col]) < min_conf):
+                    t = "NA"
+                elif (min_gamma > 0 and gamma_col >= 0
+                        and float(row[gamma_col]) < min_gamma):
+                    t = "NA"
+            counts[t] = counts.get(t, 0) + 1
+            total += 1
+
         with open(args.results) as f:
             reader = _csv.reader(f)
             next(reader)
+            # delay each row until the next arrives: a crash-truncated
+            # FINAL line (incomplete fields) is ignored, matching the
+            # native path; mid-file malformed rows still error
+            prev = None
             for row in reader:
                 if not row:
                     continue
-                t = row[col]
-                # low-confidence assignments are counted as
-                # unclassified, like CLARK's estimate_abundance -c
-                if t != "NA":
-                    if (min_conf > 0 and conf_col >= 0
-                            and float(row[conf_col]) < min_conf):
-                        t = "NA"
-                    elif (min_gamma > 0 and gamma_col >= 0
-                            and float(row[gamma_col]) < min_gamma):
-                        t = "NA"
-                counts[t] = counts.get(t, 0) + 1
-                total += 1
+                if prev is not None:
+                    process(prev)
+                prev = row
+            if prev is not None and len(prev) == len(header):
+                process(prev)
     classified = total - counts.get("NA", 0)
     print("Name,Count,Proportion_All(%),Proportion_Classified(%)")
     for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
@@ -479,7 +504,8 @@ def cmd_density(args) -> int:
         from cuclark_tpu import native
 
         try:
-            v = native.csv_values(buf, len(header), col, acol)
+            v = native.csv_values(buf, len(header), col, acol,
+                                  offset0=header_len)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1
@@ -487,12 +513,26 @@ def cmd_density(args) -> int:
         import csv as _csv
 
         vals = []
+
+        def process(row):
+            if len(row) != len(header):
+                raise ValueError("malformed result CSV row "
+                                 f"(fields {len(row)} != {len(header)})")
+            if row[acol] != "NA":
+                vals.append(float(row[col]))
+
         with open(args.results) as f:
             reader = _csv.reader(f)
             next(reader)
+            prev = None  # truncated-tail tolerance (see cmd_abundance)
             for row in reader:
-                if row and row[acol] != "NA":
-                    vals.append(float(row[col]))
+                if not row:
+                    continue
+                if prev is not None:
+                    process(prev)
+                prev = row
+            if prev is not None and len(prev) == len(header):
+                process(prev)
         v = np.asarray(vals, np.float64)
     if len(v) == 0:
         print("no assigned reads", file=sys.stderr)

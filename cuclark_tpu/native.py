@@ -444,13 +444,16 @@ def build_q4(kmers: np.ndarray, labels: np.ndarray, nb_bits: int,
 def csv_tally(buf: np.ndarray, ncols: int, col_assign: int,
               col_conf: int, col_gamma: int,
               min_conf: float, min_gamma: float,
-              max_names: int = 1 << 20):
+              max_names: int = 1 << 20, offset0: int = 0):
     """One-pass abundance tally over result-CSV bytes (header already
     stripped): per-assignment counts with the low-confidence/low-gamma
     -> NA filter applied natively.  Returns (names list with names[0]
     == 'NA', counts int64 [len(names)], total_rows).
 
-    Raises ValueError on a malformed row (wrong field count)."""
+    Raises ValueError on a malformed row (wrong field count, or an
+    unparseable value in a filtered column); offset0 is added to the
+    reported byte position so it points into the FILE, not the
+    header-stripped body."""
     lib = _lib()
     buf = np.ascontiguousarray(buf, np.uint8)
     counts = np.zeros(max_names, np.int64)
@@ -464,7 +467,8 @@ def csv_tally(buf: np.ndarray, ncols: int, col_assign: int,
     if r == -(len(buf) + 2):
         raise ValueError("csv_tally: too many distinct assignment names")
     if r < 0:
-        raise ValueError(f"malformed result CSV row at byte {-r - 1}")
+        raise ValueError(
+            f"malformed result CSV row at byte {-r - 1 + offset0}")
     blob = names.tobytes()
     out_names = [blob[name_off[i]:name_off[i + 1]].decode("utf-8",
                                                           "replace")
@@ -473,7 +477,7 @@ def csv_tally(buf: np.ndarray, ncols: int, col_assign: int,
 
 
 def csv_values(buf: np.ndarray, ncols: int, col_val: int,
-               col_assign: int) -> np.ndarray:
+               col_assign: int, offset0: int = 0) -> np.ndarray:
     """Float column col_val of every assigned (non-NA) row of result-CSV
     bytes (header stripped) — the density histogram input."""
     lib = _lib()
@@ -483,7 +487,8 @@ def csv_values(buf: np.ndarray, ncols: int, col_val: int,
     r = lib.csv_values(buf, len(buf), ncols, col_val, col_assign, out,
                        cap)
     if r < 0:
-        raise ValueError(f"malformed result CSV row at byte {-r - 1}")
+        raise ValueError(
+            f"malformed result CSV row at byte {-r - 1 + offset0}")
     out.resize(r, refcheck=False)
     return out
 

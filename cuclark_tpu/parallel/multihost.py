@@ -333,16 +333,14 @@ class GlobalClassifier:
                     written = sink.total_rows
                 else:
                     if cfg.extended and labels_np is not None and cnt:
-                        from cuclark_tpu.pipeline import dense_counts
+                        from cuclark_tpu.pipeline import (
+                            accumulate_hit_stats, dense_counts)
 
-                        d = (dense_counts(labels_np[:cnt],
+                        accumulate_hit_stats(
+                            hstats,
+                            (dense_counts(labels_np[:cnt],
                                           db.num_targets)[:, 1:]
-                             > 0).sum(axis=1)
-                        lo = int(d.min())
-                        hstats[0] = (lo if hstats[0] is None
-                                     else min(hstats[0], lo))
-                        hstats[1] = max(hstats[1], int(d.max()))
-                        hstats[2] += int(d.sum())
+                             > 0).sum(axis=1))
                     names = fast_parse.names_of(buf, ns, ne)
                     for row in clf._emit_np(results, labels_np, names,
                                             lengths, cnt, paired):

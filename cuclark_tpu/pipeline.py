@@ -177,13 +177,7 @@ class CsvSink:
         if self.extended:
             counts = dense_counts(labels_np[:cnt],
                                   self.db.num_targets)[:, 1:]
-            distinct = (counts > 0).sum(axis=1)
-            if cnt:
-                lo = int(distinct.min())
-                self.hstats[0] = (lo if self.hstats[0] is None
-                                  else min(self.hstats[0], lo))
-                self.hstats[1] = max(self.hstats[1], int(distinct.max()))
-                self.hstats[2] += int(distinct.sum())
+            accumulate_hit_stats(self.hstats, (counts > 0).sum(axis=1))
             self.f.write(native.format_rows_ext(
                 counts, norm, gamma, ibest, best, isecond, second, conf,
                 buf, ns[:cnt], ne[:cnt], self.tname_bytes, self.tname_off))
@@ -201,6 +195,19 @@ class CsvSink:
             print(f"MIN targets: {self.hstats[0] or 0}, MAX targets: "
                   f"{self.hstats[1]}, AVG targets: "
                   f"{self.hstats[2] / self.total_rows:g}", file=sys.stderr)
+
+
+def accumulate_hit_stats(hstats, distinct) -> None:
+    """Fold a batch's distinct-hit-target counts into the [min, max,
+    sum] triple (reference extended-mode stats, CuCLARK_hh.hh:2075-
+    2080) — shared by CsvSink and the multihost non-native fallback so
+    the two accumulations cannot drift apart."""
+    if len(distinct) == 0:
+        return
+    lo = int(distinct.min())
+    hstats[0] = lo if hstats[0] is None else min(hstats[0], lo)
+    hstats[1] = max(hstats[1], int(distinct.max()))
+    hstats[2] += int(distinct.sum())
 
 
 def _shard_prefetch(*arrs):
@@ -284,6 +291,21 @@ class Classifier:
             self.table = jnp.asarray(main_np)
             self.stash = (jnp.asarray(stash_np)
                           if stash_np is not None else None)
+
+    def close(self) -> None:
+        """Release the part-upload worker thread (idle executor threads
+        outlive garbage collection; a process that builds many
+        streaming Classifiers would otherwise accumulate one blocked
+        thread per instance)."""
+        if self._upload_pool is not None:
+            self._upload_pool.shutdown(wait=False)
+            self._upload_pool = None
+
+    def __del__(self):  # best effort; close() is the deliberate path
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _effective_stream_group(self) -> int:
         """Batch-group size for DB-part streaming: at least

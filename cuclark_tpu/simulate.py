@@ -82,11 +82,21 @@ def simulate_reads(genomes: dict[str, str], n_reads: int, read_len: int,
     real genome bases.  Targets are sampled uniformly; within a target,
     records are sampled by usable length (windows never span record
     boundaries — no chimeric junction reads).
+
+    Each read's template strand is a coin flip (wgsim samples both
+    strands), so the harness genuinely exercises reverse-complement
+    canonicalization — forward-only sampling would let an RC-side bug
+    classify perfectly.  Paired mates share ONE insert in FR
+    orientation: mate 1 reads the template 5' end, mate 2 the REVERSE
+    COMPLEMENT from the insert's other end (Illumina convention).
     """
     rng = np.random.default_rng(seed)
     labels = sorted(genomes)
     span = (insert_len or 2 * read_len + 20) if paired else read_len
     pad = 12
+    if paired and span < read_len + pad:
+        raise ValueError(f"insert_len {span} shorter than read_len + "
+                         f"indel pad ({read_len + pad})")
     segs: list[np.ndarray] = []       # per-record code arrays
     seg_of_target: list[list[int]] = []
     for t in labels:
@@ -112,28 +122,30 @@ def simulate_reads(genomes: dict[str, str], n_reads: int, read_len: int,
         w = np.array([len(segs[s]) - span - pad + 1 for s in mine], float)
         seg_pick[idx] = rng.choice(mine, size=len(idx), p=w / w.sum())
 
-    def sample_rows(offset_from_start: bool):
-        rows = np.empty((n_reads, read_len + pad), np.uint8)
-        for si, a in enumerate(segs):
-            idx = np.nonzero(seg_pick == si)[0]
-            if not len(idx):
-                continue
-            starts = rng.integers(0, len(a) - span - pad + 1, len(idx))
-            if not offset_from_start:  # mate 2: end of the insert
-                starts = starts + span - read_len
-            rows[idx] = a[starts[:, None]
-                          + np.arange(read_len + pad)[None, :]]
-        return rows
+    # ONE genome window per read (paired mates derive from it)
+    win = span + pad
+    windows = np.empty((n_reads, win), np.uint8)
+    for si, a in enumerate(segs):
+        idx = np.nonzero(seg_pick == si)[0]
+        if not len(idx):
+            continue
+        starts = rng.integers(0, len(a) - win + 1, len(idx))
+        windows[idx] = a[starts[:, None] + np.arange(win)[None, :]]
+    # template strand coin flip; complement is 3 - code (A<->T, C<->G)
+    strand = rng.integers(0, 2, n_reads).astype(bool)
+    tpl = np.where(strand[:, None], (3 - windows)[:, ::-1], windows)
 
     def to_str(codes):
         return [_BASES[c].tobytes().decode() for c in codes]
 
-    m1 = mutate_codes(sample_rows(True), read_len, rng,
-                      sub_rate, ins_rate, del_rate)
+    m1 = mutate_codes(np.ascontiguousarray(tpl[:, :read_len + pad]),
+                      read_len, rng, sub_rate, ins_rate, del_rate)
     if not paired:
         return names, to_str(m1)
-    m2 = mutate_codes(sample_rows(False), read_len, rng,
-                      sub_rate, ins_rate, del_rate)
+    # mate 2: reverse complement of the SAME insert, read from the
+    # other end (FR orientation)
+    tpl2 = np.ascontiguousarray((3 - tpl)[:, ::-1][:, :read_len + pad])
+    m2 = mutate_codes(tpl2, read_len, rng, sub_rate, ins_rate, del_rate)
     return names, to_str(m1), to_str(m2)
 
 

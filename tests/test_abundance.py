@@ -112,13 +112,22 @@ def test_density_native_python_parity(csv_path, capsys, monkeypatch):
         assert capsys.readouterr().out == nat
 
 
-def test_abundance_malformed_row_rejected(tmp_path, capsys):
-    """A mid-file row with the wrong field count is an error, not a
-    silent miscount."""
+@pytest.fixture(params=["native", "fallback"])
+def maybe_native(request, monkeypatch):
+    """Run a test under both the native and csv-module paths."""
     from cuclark_tpu import native
 
-    if not native.available():
-        pytest.skip("no native module")
+    if request.param == "native":
+        if not native.available():
+            pytest.skip("no native module")
+    else:
+        monkeypatch.setattr(native, "available", lambda: False)
+    return request.param
+
+
+def test_abundance_malformed_row_rejected(tmp_path, capsys, maybe_native):
+    """A mid-file row with the wrong field count is an error, not a
+    silent miscount — on the native AND fallback paths."""
     p = tmp_path / "bad.csv"
     p.write_text(HEADER + "r0,100,0.9,T1,50,NA,0,1.0\n"
                  + "r1,100,garbage\n"
@@ -127,7 +136,29 @@ def test_abundance_malformed_row_rejected(tmp_path, capsys):
     assert "malformed" in capsys.readouterr().err
 
 
-def test_abundance_truncated_tail_tolerated(tmp_path, capsys):
+def test_abundance_garbage_filter_field_rejected(tmp_path, capsys,
+                                                 maybe_native):
+    """An unparseable confidence field under --highconfidence errors on
+    both paths (the native parser must not silently read garbage as
+    0.0 and tally the read as NA)."""
+    p = tmp_path / "g.csv"
+    p.write_text(HEADER + "r0,100,0.9,T1,50,NA,0,garbage\n")
+    assert main(["abundance", "-R", str(p), "--highconfidence"]) == 1
+    err = capsys.readouterr().err
+    assert "malformed" in err or "could not convert" in err
+
+
+def test_density_malformed_row_rejected(tmp_path, capsys, maybe_native):
+    p = tmp_path / "bad.csv"
+    p.write_text(HEADER + "r0,100,0.9,T1,50,NA,0,1.0\n"
+                 + "r1,100\n"
+                 + "r2,100,0.9,T1,50,NA,0,1.0\n")
+    assert main(["density", "-R", str(p)]) == 1
+    assert "malformed" in capsys.readouterr().err
+
+
+def test_abundance_truncated_tail_tolerated(tmp_path, capsys,
+                                            maybe_native):
     """A crash-truncated final line (incomplete fields, no newline) is
     ignored rather than treated as an error or a row."""
     p = tmp_path / "t.csv"

@@ -33,7 +33,6 @@ def test_mutate_substitution_rate():
 
 def test_mutate_deletion_shifts_left():
     rng = np.random.default_rng(1)
-    rows = np.tile(np.arange(16, dtype=np.uint8) % 4, (1, 2))[:, :20]
     rows = np.arange(20, dtype=np.uint8).reshape(1, 20) % 4
     out = simulate.mutate_codes(rows, 16, rng, sub_rate=0.0,
                                 ins_rate=0.0, del_rate=0.5)
@@ -46,17 +45,31 @@ def test_mutate_deletion_shifts_left():
     assert all(any(b == x for x in it) for b in o)  # subsequence check
 
 
+_RC = str.maketrans("ACGT", "TGCA")
+
+
+def _rc(s: str) -> str:
+    return s.translate(_RC)[::-1]
+
+
 def test_simulate_reads_truth_names():
     genomes = _random_genomes(3, 3000)
     names, seqs = simulate.simulate_reads(genomes, 50, 80, seed=3)
     assert len(names) == len(seqs) == 50
     assert all(simulate.truth_of_name(n) in genomes for n in names)
     assert all(len(s) == 80 for s in seqs)
-    # zero error rate reproduces exact substrings
-    names0, seqs0 = simulate.simulate_reads(genomes, 20, 60, 0.0, 0.0,
+    # zero error rate reproduces exact substrings of either strand,
+    # and BOTH strands appear (wgsim samples both; forward-only
+    # sampling would blind the harness to RC canonicalization bugs)
+    names0, seqs0 = simulate.simulate_reads(genomes, 40, 60, 0.0, 0.0,
                                             0.0, seed=4)
+    fwd = rev = 0
     for n, s in zip(names0, seqs0):
-        assert s in genomes[simulate.truth_of_name(n)]
+        g = genomes[simulate.truth_of_name(n)]
+        assert s in g or _rc(s) in g
+        fwd += s in g
+        rev += _rc(s) in g
+    assert fwd > 5 and rev > 5
 
 
 def test_multi_record_no_chimeras(tmp_path):
@@ -64,8 +77,27 @@ def test_multi_record_no_chimeras(tmp_path):
     genomes = {"A": ["AC" * 200, "GT" * 200]}
     names, seqs = simulate.simulate_reads(genomes, 40, 50, 0.0, 0.0,
                                           0.0, seed=5)
+    recs = ["AC" * 200, "GT" * 200]
     for s in seqs:
-        assert s in "AC" * 200 or s in "GT" * 200
+        assert any(s in r or _rc(s) in r for r in recs)
+
+
+def test_paired_mates_share_one_insert():
+    """FR orientation: mate 1 and RC(mate 2) are substrings of ONE
+    genome window at most insert_len apart (regression: mates were
+    once sampled from independent positions)."""
+    genomes = _random_genomes(1, 5000, seed=8)
+    g = genomes["G1"]
+    names, s1, s2 = simulate.simulate_reads(
+        genomes, 30, 40, 0.0, 0.0, 0.0, seed=6, paired=True,
+        insert_len=120)
+    for a, b in zip(s1, s2):
+        fa = a if a in g else _rc(a)
+        fb = _rc(b) if _rc(b) in g else b
+        pa, pb = g.find(fa), g.find(fb)
+        assert pa >= 0 and pb >= 0
+        # one mate reads each end of the same <=132-base window
+        assert abs(pa - pb) <= 132 - 40
 
 
 @pytest.fixture(scope="module")
