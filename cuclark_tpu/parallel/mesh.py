@@ -270,6 +270,30 @@ class ShardedClassifier:
     def num_data(self) -> int:
         return self.mesh.shape["data"]
 
+    def put_wire(self, packed2: np.ndarray, vbits: np.ndarray):
+        """Place one packed batch on the mesh (data-sharded).  Safe to
+        call from a prefetch thread — it is host->device placement, not
+        a collective dispatch, so the lockstep rule (identical jitted
+        call order on every rank) is untouched; a device_put can block
+        its calling thread for the whole transfer, so doing this on the
+        feed thread overlaps H2D with the main thread's dispatch."""
+        if self.multihost:
+            # each process contributes its rows of the global batch
+            return (jax.make_array_from_process_local_data(
+                        self._codes_sharding, np.asarray(packed2)),
+                    jax.make_array_from_process_local_data(
+                        self._codes_sharding, np.asarray(vbits)))
+        return (jax.device_put(packed2, self._codes_sharding),
+                jax.device_put(vbits, self._codes_sharding))
+
+    def step_placed(self, dev_p2, dev_vb):
+        """Async device step on mesh-placed arrays (see put_wire)."""
+        if self.stash is not None:
+            out = self._step(self.table, self.stash, dev_p2, dev_vb)
+        else:
+            out = self._step(self.table, dev_p2, dev_vb)
+        return (out[0], out[1]) if self.with_labels else (out[0], None)
+
     def step_packed(self, packed2: np.ndarray, vbits: np.ndarray):
         """Async device step on pre-packed reads (codec.pack_codes).
 
@@ -278,20 +302,7 @@ class ShardedClassifier:
         (results, labels-or-None) as device arrays without blocking —
         the pipeline keeps batches in flight exactly like the
         single-chip path."""
-        if self.multihost:
-            # each process contributes its rows of the global batch
-            dev_p2 = jax.make_array_from_process_local_data(
-                self._codes_sharding, np.asarray(packed2))
-            dev_vb = jax.make_array_from_process_local_data(
-                self._codes_sharding, np.asarray(vbits))
-        else:
-            dev_p2 = jax.device_put(packed2, self._codes_sharding)
-            dev_vb = jax.device_put(vbits, self._codes_sharding)
-        if self.stash is not None:
-            out = self._step(self.table, self.stash, dev_p2, dev_vb)
-        else:
-            out = self._step(self.table, dev_p2, dev_vb)
-        return (out[0], out[1]) if self.with_labels else (out[0], None)
+        return self.step_placed(*self.put_wire(packed2, vbits))
 
     @staticmethod
     def local_rows(out_arr, n_local: int | None = None) -> np.ndarray:

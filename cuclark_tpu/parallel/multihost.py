@@ -413,11 +413,20 @@ class GlobalClassifier:
                     if group:
                         flush_group(group)
                 else:
+                    # mesh placement happens INSIDE the prefetched
+                    # generator (feed thread): a device_put can block
+                    # for the whole H2D transfer, which on the main
+                    # thread would serialize uploads with dispatch
+                    def placed_batches():
+                        for (p2, vb), ns, ne, lengths, cnt in batches():
+                            yield (self.sc.put_wire(p2, vb), ns, ne,
+                                   lengths, cnt)
+
                     inflight = deque()
-                    for (p2, vb), ns, ne, lengths, cnt in _prefetch(
-                            batches()):
-                        results_dev, labels_dev = self.sc.step_packed(
-                            p2, vb)
+                    for (dev_p2, dev_vb), ns, ne, lengths, cnt in \
+                            _prefetch(placed_batches()):
+                        results_dev, labels_dev = self.sc.step_placed(
+                            dev_p2, dev_vb)
                         _shard_prefetch(results_dev, labels_dev)
                         inflight.append((results_dev, labels_dev, ns, ne,
                                          lengths, cnt))
