@@ -522,7 +522,7 @@ def main():
         engine = multihost.GlobalClassifier(db_s, cfgm, mesh=mesh)
         engine.classify_file_to_csv(fq, td / "outm.csv")  # warmup
         ts = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = engine.classify_file_to_csv(fq, td / "outm.csv")
             ts.append(time.time() - t0)
