@@ -800,8 +800,9 @@ int64_t format_rows_ext(int64_t n, int64_t n_targets,
 
 // Parse one CSV line in [i, n): records up to ncols field (start,end)
 // pairs, returns the byte offset just past the line's '\n' (or n).
-// *nf receives the field count.  No quoting: CLARK CSVs are never
-// quoted (format_rows writes raw names).
+// *nf receives the field count.  A '\r' immediately before the '\n'
+// (CRLF file) is excluded from the final field.  No quoting: CLARK
+// CSVs are never quoted (format_rows writes raw names).
 static inline int64_t csv_line(const uint8_t* buf, int64_t n, int64_t i,
                                int64_t* fs, int64_t* fe, int32_t ncols,
                                int32_t* nf) {
@@ -810,7 +811,9 @@ static inline int64_t csv_line(const uint8_t* buf, int64_t n, int64_t i,
     while (i < n) {
         uint8_t c = buf[i];
         if (c == ',' || c == '\n') {
-            if (f < ncols) { fs[f] = s; fe[f] = i; }
+            int64_t e = (c == '\n' && i > s && buf[i - 1] == '\r')
+                            ? i - 1 : i;
+            if (f < ncols) { fs[f] = s; fe[f] = e; }
             f++;
             s = i + 1;
             if (c == '\n') { *nf = f; return i + 1; }
@@ -921,7 +924,10 @@ int64_t csv_tally(const uint8_t* buf, int64_t n,
         i = csv_line(buf, n, i, fs, fe, ncols, &nf);
         if (nf == 1 && fe[0] == fs[0]) continue;  // blank line
         if (nf != ncols) {
-            if (i >= n) break;  // truncated tail row: ignore
+            // only a final line WITHOUT its '\n' is a crash-truncated
+            // tail; a newline-terminated last row was fully written
+            // and a wrong field count there is real corruption
+            if (i >= n && buf[n - 1] != '\n') break;
             err = -(line_s + 1);
             break;
         }
@@ -983,7 +989,7 @@ int64_t csv_values(const uint8_t* buf, int64_t n,
         i = csv_line(buf, n, i, fs, fe, ncols, &nf);
         if (nf == 1 && fe[0] == fs[0]) continue;
         if (nf != ncols) {
-            if (i >= n) break;
+            if (i >= n && buf[n - 1] != '\n') break;  // truncated tail
             err = -(line_s + 1);
             break;
         }

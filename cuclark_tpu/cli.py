@@ -340,7 +340,21 @@ def _count_csv_rows(path) -> int:
                         last_nl = start + last_nl_rel
                     pos = start
                 f.truncate(last_nl + 1)  # 0 when no newline exists at all
-            f.seek(0)
+                f.seek(0, 2)
+                size = f.tell()
+            if size == 0:
+                return 0
+        # count repaired-complete lines; one native memchr pass when
+        # available (a ladder-4 resume must not re-read a multi-GB CSV
+        # line-by-line in Python before classification even starts)
+        from cuclark_tpu import native
+
+        if native.available():
+            import numpy as _np
+
+            return max(0, native.count_lines(
+                _np.memmap(path, dtype=_np.uint8, mode="r")) - 1)
+        with open(path, "rb") as f:
             return max(0, sum(1 for _ in f) - 1)
     except PermissionError:
         # readable-but-not-writable file: count only COMPLETE lines
@@ -362,6 +376,44 @@ def _read_csv_header(path):
         header_b = f.readline()
     return header_b.decode("utf-8", "replace").rstrip("\r\n").split(","), \
         len(header_b)
+
+
+def _iter_complete_rows(path, ncols: int):
+    """Data rows of a result CSV via the csv module (the no-compiler
+    fallback shared by abundance and density): skips the header and
+    blank lines, raises ValueError on a row with the wrong field
+    count, and silently drops a crash-truncated FINAL row — matching
+    the native csv_tally/csv_values semantics.  The final row counts
+    as fully written (and is therefore validated, not dropped) when
+    the file ends with a newline."""
+    import csv as _csv
+
+    with open(path, "rb") as fb:
+        fb.seek(0, 2)
+        size = fb.tell()
+        tail_complete = True
+        if size:
+            fb.seek(size - 1)
+            tail_complete = fb.read(1) == b"\n"
+
+    def checked(row):
+        if len(row) != ncols:
+            raise ValueError("malformed result CSV row "
+                             f"(fields {len(row)} != {ncols})")
+        return row
+
+    with open(path) as f:
+        reader = _csv.reader(f)
+        next(reader, None)
+        prev = None  # delay one row so the tail rule can apply
+        for row in reader:
+            if not row:
+                continue
+            if prev is not None:
+                yield checked(prev)
+            prev = row
+        if prev is not None and (tail_complete or len(prev) == ncols):
+            yield checked(prev)
 
 
 def _csv_body_mmap(path, header_len: int):
@@ -437,13 +489,7 @@ def cmd_abundance(args) -> int:
                 continue  # the pre-interned NA id when no row was NA
             counts[name] = counts.get(name, 0) + c
     else:
-        import csv as _csv
-
-        def process(row):
-            nonlocal total
-            if len(row) != len(header):
-                raise ValueError("malformed result CSV row "
-                                 f"(fields {len(row)} != {len(header)})")
+        for row in _iter_complete_rows(args.results, len(header)):
             t = row[col]
             # low-confidence assignments are counted as unclassified,
             # like CLARK's estimate_abundance -c
@@ -456,25 +502,12 @@ def cmd_abundance(args) -> int:
                     t = "NA"
             counts[t] = counts.get(t, 0) + 1
             total += 1
-
-        with open(args.results) as f:
-            reader = _csv.reader(f)
-            next(reader)
-            # delay each row until the next arrives: a crash-truncated
-            # FINAL line (incomplete fields) is ignored, matching the
-            # native path; mid-file malformed rows still error
-            prev = None
-            for row in reader:
-                if not row:
-                    continue
-                if prev is not None:
-                    process(prev)
-                prev = row
-            if prev is not None and len(prev) == len(header):
-                process(prev)
     classified = total - counts.get("NA", 0)
     print("Name,Count,Proportion_All(%),Proportion_Classified(%)")
-    for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
+    # tie-break by name so the report is deterministic and identical
+    # across the native and csv-fallback paths (their dict insertion
+    # orders differ; a bare -count sort would leak that into ties)
+    for name, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
         pc = "-" if name == "NA" else (
             f"{100.0 * c / classified:.4f}" if classified else "0.0000")
         pa = f"{100.0 * c / total:.4f}" if total else "0.0000"
@@ -510,29 +543,9 @@ def cmd_density(args) -> int:
             print(str(e), file=sys.stderr)
             return 1
     else:
-        import csv as _csv
-
-        vals = []
-
-        def process(row):
-            if len(row) != len(header):
-                raise ValueError("malformed result CSV row "
-                                 f"(fields {len(row)} != {len(header)})")
-            if row[acol] != "NA":
-                vals.append(float(row[col]))
-
-        with open(args.results) as f:
-            reader = _csv.reader(f)
-            next(reader)
-            prev = None  # truncated-tail tolerance (see cmd_abundance)
-            for row in reader:
-                if not row:
-                    continue
-                if prev is not None:
-                    process(prev)
-                prev = row
-            if prev is not None and len(prev) == len(header):
-                process(prev)
+        vals = [float(row[col])
+                for row in _iter_complete_rows(args.results, len(header))
+                if row[acol] != "NA"]
         v = np.asarray(vals, np.float64)
     if len(v) == 0:
         print("no assigned reads", file=sys.stderr)

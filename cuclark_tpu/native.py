@@ -457,7 +457,9 @@ def csv_tally(buf: np.ndarray, ncols: int, col_assign: int,
     lib = _lib()
     buf = np.ascontiguousarray(buf, np.uint8)
     counts = np.zeros(max_names, np.int64)
-    names_cap = 4 << 20
+    # blob scales with max_names: long accession-style names must not
+    # exhaust the byte budget before the name-count budget
+    names_cap = max(4 << 20, 64 * max_names)
     names = np.empty(names_cap, np.uint8)
     name_off = np.zeros(max_names + 1, np.int64)
     total = ctypes.c_int64(0)
@@ -474,6 +476,13 @@ def csv_tally(buf: np.ndarray, ncols: int, col_assign: int,
                                                           "replace")
                  for i in range(r)]
     return out_names, counts[:r], total.value
+
+
+def count_lines(buf: np.ndarray) -> int:
+    """Number of '\\n' bytes (one native memchr pass)."""
+    lib = _lib()
+    buf = np.ascontiguousarray(buf, np.uint8)
+    return int(lib.count_lines(buf, len(buf)))
 
 
 def csv_values(buf: np.ndarray, ncols: int, col_val: int,

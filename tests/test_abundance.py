@@ -169,6 +169,44 @@ def test_abundance_truncated_tail_tolerated(tmp_path, capsys,
     assert d == {"T1": "1"}
 
 
+def test_abundance_complete_final_malformed_rejected(tmp_path, capsys,
+                                                     maybe_native):
+    """A newline-TERMINATED final row with the wrong field count was
+    fully written (not crash-truncated) — real corruption, rejected on
+    both paths."""
+    p = tmp_path / "c.csv"
+    p.write_text(HEADER + "r0,100,0.9,T1,50,NA,0,1.0\n" + "r1,100\n")
+    assert main(["abundance", "-R", str(p)]) == 1
+    assert "malformed" in capsys.readouterr().err
+
+
+def test_abundance_crlf(tmp_path, capsys, maybe_native):
+    """CRLF result CSVs parse identically on both paths (the '\\r' is
+    not part of the confidence field)."""
+    p = tmp_path / "crlf.csv"
+    p.write_bytes(HEADER.replace("\n", "\r\n").encode()
+                  + b"r0,100,0.9,T1,50,NA,0,1.0\r\n"
+                  + b"r1,100,0.9,T2,50,NA,0,0.5\r\n")
+    assert main(["abundance", "-R", str(p), "--highconfidence"]) == 0
+    d = {l.split(",")[0]: l.split(",")[1]
+         for l in _lines(capsys)[1:]}
+    assert d == {"T1": "1", "NA": "1"}  # r1 filtered by conf 0.5
+
+
+def test_abundance_tie_order_deterministic(tmp_path, capsys,
+                                           maybe_native):
+    """Count ties order by name on both paths (native interns NA
+    first; the fallback inserts in row order — the sort must not leak
+    that difference)."""
+    p = tmp_path / "tie.csv"
+    p.write_text(HEADER + "r0,100,0.9,T1,50,NA,0,1.0\n"
+                 + "r1,100,0,NA,0,NA,0,0\n"
+                 + "r2,100,0.9,A9,50,NA,0,1.0\n")
+    assert main(["abundance", "-R", str(p)]) == 0
+    names = [l.split(",")[0] for l in _lines(capsys)[1:]]
+    assert names == ["A9", "NA", "T1"]  # all count 1: alphabetical
+
+
 def test_abundance_db_dir_lists_unhit_targets(csv_path, tmp_path, capsys):
     """-D seeds the report with every DB target, zero counts included."""
     import numpy as np
