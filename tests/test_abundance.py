@@ -207,6 +207,49 @@ def test_abundance_tie_order_deterministic(tmp_path, capsys,
     assert names == ["A9", "NA", "T1"]  # all count 1: alphabetical
 
 
+def test_abundance_fuzz_parity(tmp_path, capsys, monkeypatch):
+    """Randomized CSVs (random names incl. empties and odd characters,
+    random float formats, blank lines, CRLF, with/without trailing
+    newline) print byte-identical reports on the native and fallback
+    paths under every filter combination."""
+    import random
+
+    from cuclark_tpu import native
+
+    if not native.available():
+        pytest.skip("no native module")
+    rng = random.Random(5)
+    name_pool = (["NA"] + [f"T{i}" for i in range(6)]
+                 + ["x y", "Acc_01.2", "zz-9", ""])
+    for trial in range(8):
+        rows = []
+        for i in range(rng.randrange(1, 60)):
+            t = rng.choice(name_pool)
+            g = rng.choice(["0", "1", "0.5", "0.123456", "1e-05", "-0"])
+            c = rng.choice(["0", "1", "0.75", "0.9999", "5e-01"])
+            rows.append(f"r{i},100,{g},{t},50,NA,0,{c}")
+            if rng.random() < 0.1:
+                rows.append("")  # blank line
+        eol = "\r\n" if trial % 3 == 0 else "\n"
+        body = eol.join(rows)
+        if trial % 2 == 0:
+            body += eol  # with/without final newline
+        p = tmp_path / f"f{trial}.csv"
+        p.write_bytes(HEADER.replace("\n", eol).encode() + body.encode())
+        for flags in ([], ["--highconfidence"],
+                      ["--min-gamma", "0.1"]):
+            rcs, outs = [], []
+            for use_native in (True, False):
+                if not use_native:
+                    monkeypatch.setattr(native, "available",
+                                        lambda: False)
+                rcs.append(main(["abundance", "-R", str(p)] + flags))
+                outs.append(capsys.readouterr().out)
+                monkeypatch.undo()
+            assert rcs[0] == rcs[1], (trial, flags, outs)
+            assert outs[0] == outs[1], (trial, flags)
+
+
 def test_abundance_db_dir_lists_unhit_targets(csv_path, tmp_path, capsys):
     """-D seeds the report with every DB target, zero counts included."""
     import numpy as np
