@@ -300,8 +300,20 @@ def main():
             "pass_s": [round(t, 2) for t in ts],
         }
 
+    def h2d_sample(mb=32):
+        """One-shot H2D link-rate sample (distinct incompressible
+        buffer).  The remote relay's bandwidth swings orders of
+        magnitude between minutes; recording a contemporaneous sample
+        beside every e2e number lets a reader separate pipeline
+        behavior from link weather."""
+        big = rng.integers(0, 256, (mb, 1 << 20), dtype=np.uint8)
+        t0 = time.time()
+        jnp.asarray(big).block_until_ready()
+        return round(mb / (time.time() - t0), 1)
+
     fq = td / "bench.fq"
     if e2e_reads:
+        detail["h2d_mb_per_s_at_e2e"] = h2d_sample()
         starts_e = rng.integers(0, len(genome) - read_len, size=e2e_reads)
         write_fastq(fq, genome[starts_e[:, None]
                                + np.arange(read_len)[None, :]])
