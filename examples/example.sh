@@ -22,3 +22,16 @@ else
     diff results.csv expected_results.csv | head >&2
     exit 1
 fi
+
+# Accuracy loop (the reference bundles "HiSeq_accuracy.fa"-style sets;
+# here the reads are simulated with 1% errors and scored against the
+# truth embedded in their names).
+$CLI simulate-reads -T targets.txt -O sim.fq -n 2000 -l 100 --sub-rate 0.01
+$CLI classify -D db_example -O sim.fq -R sim.csv
+$CLI evaluate -R sim.csv --min-recall 0.95 --min-precision 0.98
+echo "OK: accuracy floors hold (recall >= 0.95, precision >= 0.98)"
+
+# Abundance summary over the golden results
+$CLI abundance -R results.csv -D db_example >/dev/null
+echo "OK: abundance summary runs"
+rm -rf db_example sim.fq sim.csv results.csv
