@@ -371,9 +371,16 @@ def probe_np_qs(table, nb_bits: int, stash_bits: int, seed: int,
 MAX_NB_BITS_Q = 30
 
 
-def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
+def check_q_bits(layout: str, nb_bits: int,
+                 stash_bits: int | None = None) -> None:
     """Reject q4/qs geometries whose global row indices overflow int32
-    (gathers would silently wrap negative and probe wrong rows)."""
+    (gathers would silently wrap negative and probe wrong rows).
+
+    stash_bits None = not chosen yet (build-time nb_bits-only check).
+    A concrete qs stash_bits below 17 — INCLUDING 0, the dataclass
+    default a hand-built or meta-corrupted artifact could carry — is
+    rejected: stash quotients would silently truncate into the 15-bit
+    meta field and every stash entry would miss."""
     if layout not in ("q4", "qs"):
         if nb_bits > 31:
             # s2 bucket indices are also int32 on device
@@ -381,7 +388,8 @@ def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
                 f"{layout} layout supports nb_bits <= 31 (got "
                 f"{nb_bits}): bucket indices are int32 on device")
         return
-    if nb_bits < 17 or (layout == "qs" and 0 < stash_bits < 17):
+    if nb_bits < 17 or (layout == "qs" and stash_bits is not None
+                        and stash_bits < 17):
         # the 15-bit quotient field requires 32 - bits <= 15
         raise ValueError(
             f"{layout} layout requires nb_bits >= 17 (and stash_bits "
@@ -391,7 +399,8 @@ def check_q_bits(layout: str, nb_bits: int, stash_bits: int = 0) -> None:
             f"{layout} layout supports nb_bits <= {MAX_NB_BITS_Q} "
             f"(got {nb_bits}): row indices are int32 on device. "
             f"Shard the table over a db mesh axis instead.")
-    if layout == "qs" and (1 << nb_bits) + (1 << stash_bits) > 2 ** 31 - 1:
+    if (layout == "qs" and stash_bits is not None
+            and (1 << nb_bits) + (1 << stash_bits) > 2 ** 31 - 1):
         raise ValueError(
             f"qs stash rows overflow int32 indexing: nb_bits={nb_bits} "
             f"stash_bits={stash_bits}")

@@ -32,13 +32,11 @@ def spread_invalid(chi, clo, valid):
     the dead lanes across distinct buckets makes padding cost the flat
     per-row rate.  Matches on spread lanes are impossible in practice
     (full-key compare) and masked out by `valid` downstream anyway."""
-    if chi.ndim == 2:
-        iota = (jax.lax.broadcasted_iota(jnp.uint32, chi.shape, 1)
-                + jax.lax.broadcasted_iota(jnp.uint32, chi.shape, 0)
-                * jnp.uint32(chi.shape[1]))
-    else:
-        iota = jax.lax.broadcasted_iota(
-            jnp.uint32, (*chi.shape, 1), chi.ndim - 1).reshape(chi.shape)
+    # GLOBAL linear lane index: distinct across every axis, not just
+    # the last (per-axis iota would collapse batched >=3-D inputs'
+    # padding lanes onto repeated k-mers — the slow-gather pathology
+    # this function exists to prevent)
+    iota = jax.lax.iota(jnp.uint32, chi.size).reshape(chi.shape)
     chi = jnp.where(valid, chi, iota)
     clo = jnp.where(valid, clo, ~iota)
     return chi, clo
@@ -54,9 +52,21 @@ def _spread_oob(bloc, in_range, local: int):
     clamp would put the whole probe on the slow path; spreading the
     dead lanes across the shard keeps them at the flat per-row rate.
     Matches on redirected lanes are masked by `in_range` downstream."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (*bloc.shape, 1),
-                                    bloc.ndim - 1).reshape(bloc.shape)
+    iota = jax.lax.iota(jnp.int32, bloc.size).reshape(bloc.shape)
     return jnp.where(in_range, bloc, iota % jnp.int32(local))
+
+
+def _localize(b, start, local: int):
+    """Shard-localize global row indices: (bloc, in_range mask) with
+    out-of-range lanes spread over distinct in-bounds rows.  One home
+    for the range-sharding idiom shared by every probe path (the
+    reference's DB-part window check, src/CuClarkDB.cu:1271-1274,
+    as a mask instead of control flow)."""
+    if start is None:
+        return b, None
+    bloc = b - start
+    in_range = (bloc >= 0) & (bloc < local)
+    return _spread_oob(bloc, in_range, local), in_range
 
 
 
@@ -131,14 +141,8 @@ def probe(table, nb_bits: int, slots: int, num_choices: int, khi, klo,
     label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
     for choice in range(num_choices):
         b = b1 if choice == 0 else (mix2(khi_f, klo_f) & mask)
-        if bucket_start is not None:
-            bloc = b.astype(jnp.int32) - bucket_start
-            in_range = (bloc >= 0) & (bloc < nb_local)
-            bloc = _spread_oob(bloc, in_range, nb_local)
-        else:
-            bloc = b.astype(jnp.int32)
-            in_range = None
-
+        bloc, in_range = _localize(b.astype(jnp.int32), bucket_start,
+                                   nb_local)
         rows = jnp.take(table, bloc, axis=0)          # [NK, 3S]
         m = (rows[:, :S] == klo_f[:, None]) & (rows[:, S:2 * S] == khi_f[:, None])
         if in_range is not None:
@@ -185,12 +189,7 @@ def _probe_qs(table, nb_bits: int, stash_bits: int, seed: int, khi, klo,
             b = (own & mask).astype(jnp.int32)
         else:
             b = nb + (own & smask).astype(jnp.int32)
-        if bucket_start is not None:
-            bloc = b - bucket_start
-            in_range = (bloc >= 0) & (bloc < nb_local)
-            bloc = _spread_oob(bloc, in_range, nb_local)
-        else:
-            bloc, in_range = b, None
+        bloc, in_range = _localize(b, bucket_start, nb_local)
         label += _q_match_labels(table, bloc, own, other, bits, choice,
                                  in_range)
     return label.reshape(shape)
@@ -228,13 +227,7 @@ def _probe_qs_split(main, stash, nb_bits: int, stash_bits: int, seed: int,
         sides.append((1, stash, h1, l2, stash_bits, h1 & smask,
                       stash_start, nbs_local))
     for choice, tbl, own, other, bits, bkt, start, local in sides:
-        b = bkt.astype(jnp.int32)
-        if start is not None:
-            bloc = b - start
-            in_range = (bloc >= 0) & (bloc < local)
-            bloc = _spread_oob(bloc, in_range, local)
-        else:
-            bloc, in_range = b, None
+        bloc, in_range = _localize(bkt.astype(jnp.int32), start, local)
         label += _q_match_labels(tbl, bloc, own, other, bits, choice,
                                  in_range)
     return label.reshape(shape)
@@ -260,12 +253,7 @@ def _probe_q4(table, nb_bits: int, seed: int, khi, klo,
     label = jnp.zeros(khi_f.shape, dtype=jnp.int32)
     for choice, own, other in ((0, l2, h1), (1, h1, l2)):
         b = (own & mask).astype(jnp.int32)
-        if bucket_start is not None:
-            bloc = b - bucket_start
-            in_range = (bloc >= 0) & (bloc < nb_local)
-            bloc = _spread_oob(bloc, in_range, nb_local)
-        else:
-            bloc, in_range = b, None
+        bloc, in_range = _localize(b, bucket_start, nb_local)
         label += _q_match_labels(table, bloc, own, other, nb_bits, choice,
                                  in_range)
     return label.reshape(shape)

@@ -79,7 +79,13 @@ def gamma_confidence(total, best, second, length, k: int, paired: bool):
     norm = np.asarray(length, dtype=np.int64)
     if paired:
         norm = norm - 1  # NBN
-    gamma = np.asarray(total, dtype=np.float64) / (norm.astype(np.float64) - k + 1.0)
+    # reads with length <= k-1 divide by <= 0 exactly like the
+    # reference's C expression (len == k-1 prints nan, shorter prints
+    # -0 — parity quirks, kept); only numpy's per-batch RuntimeWarning
+    # is suppressed, never the values
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gamma = (np.asarray(total, dtype=np.float64)
+                 / (norm.astype(np.float64) - k + 1.0))
     s = np.asarray(best, dtype=np.float64) + np.asarray(second, dtype=np.float64)
     conf = np.where(s < 0.001, 0.0, np.asarray(best, dtype=np.float64) / np.where(s == 0, 1.0, s))
     return norm, gamma, conf

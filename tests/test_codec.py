@@ -118,7 +118,8 @@ def test_packed_classify_matches_unpacked():
     codes = rng.integers(0, 5, size=(32, 96)).astype(np.uint8)
     table = jnp.asarray(db.table)
     kw = dict(k=db.k, nb_bits=db.nb_bits, slots=db.slots,
-              num_choices=db.num_choices, layout=db.layout, seed=db.seed)
+              num_choices=db.num_choices, layout=db.layout, seed=db.seed,
+              stash_bits=db.stash_bits)
     res_u, lab_u = classify_step(table, jnp.asarray(codes), **kw)
     p2, vb = codec.pack_codes(codes)
     res_p, lab_p = classify_step_packed(table, jnp.asarray(p2),

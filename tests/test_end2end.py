@@ -290,4 +290,8 @@ def test_q_bits_lower_bound():
         check_q_bits("q4", 16)
     with pytest.raises(ValueError, match="nb_bits >= 17"):
         check_q_bits("qs", 20, 16)
-    check_q_bits("qs", 20, 0)  # fused/absent stash is fine
+    # stash_bits == 0 (dataclass default / corrupted artifact) would
+    # silently truncate stash quotients: rejected, not "fused"
+    with pytest.raises(ValueError, match="stash_bits"):
+        check_q_bits("qs", 20, 0)
+    check_q_bits("qs", 20)  # nb_bits-only check (stash not chosen yet)

@@ -40,7 +40,8 @@ def test_misses_return_zero():
     hi, lo = u64.from_np64(queries[~present])
     got = np.asarray(
         probe(jnp.asarray(db.table), db.nb_bits, db.slots, db.num_choices,
-                hi, lo, layout=db.layout, seed=db.seed)
+                hi, lo, layout=db.layout, seed=db.seed,
+                stash_bits=db.stash_bits)
     )
     assert (got == 0).all()
 
@@ -64,7 +65,8 @@ def test_sample_factor_drops_buckets(tmp_path):
     hi, lo = u64.from_np64(km)
     got = np.asarray(
         probe(jnp.asarray(db2.table), db2.nb_bits, db2.slots, db2.num_choices,
-              hi, lo, layout=db2.layout, seed=db2.seed)
+              hi, lo, layout=db2.layout, seed=db2.seed,
+              stash_bits=db2.stash_bits)
     )
     frac = (got > 0).mean()
     assert 0.3 < frac < 0.7  # roughly half the buckets survive

@@ -53,6 +53,7 @@ def single_device_results(db, codes):
         jnp.asarray(db.table), jnp.asarray(codes),
         k=db.k, nb_bits=db.nb_bits, slots=db.slots,
         num_choices=db.num_choices, layout=db.layout, seed=db.seed,
+        stash_bits=db.stash_bits,
     )
     return np.asarray(results), np.asarray(labels)
 
