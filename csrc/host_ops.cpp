@@ -98,6 +98,11 @@ int64_t scan_fasta(const uint8_t* buf, int64_t n,
         int64_t se = i;
         // trim trailing newline(s)
         while (se > ss && (buf[se - 1] == '\n' || buf[se - 1] == '\r')) se--;
+        // final header-only record without its newline: i ran past n,
+        // leaving ss (and se) > n; clamp to an empty in-bounds range
+        // (matches the numpy scanner's seq_s = min(hdr_e + 1, seq_e))
+        if (se > n) se = n;
+        if (ss > se) ss = se;
         name_s[r] = hs; name_e[r] = he; seq_s[r] = ss; seq_e[r] = se;
         r++;
     }

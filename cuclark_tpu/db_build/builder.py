@@ -189,13 +189,16 @@ def read_spectrum(path, k: int, gap: int = 1, min_count: int = 0):
             parts = line.split()
             if not parts:
                 continue
-            if gap > 1 and i % gap != 0:
-                continue
+            # validate BEFORE the gap filter: a corrupt line must raise
+            # regardless of whether its index happens to be gap-skipped
+            # (the same broken file must not build or fail by parity)
             if len(parts) != 2:
                 raise ValueError(f"bad spectrum line in {path}: {line!r}")
             if len(parts[0]) != k:
                 raise ValueError(
                     f"spectrum k-mer length {len(parts[0])} != k={k}")
+            if gap > 1 and i % gap != 0:
+                continue
             if int(parts[1]) <= min_count:
                 continue
             kms.append(codec.string_to_kmer(parts[0]))

@@ -223,10 +223,11 @@ class KmerDB:
         )
         if sample_factor > 1:
             keep = (np.arange(db.total_rows) % sample_factor) == 0
-            table = db.table.copy()
+            # in place: np.load already materialized a fresh writable
+            # array — a .copy() would transiently DOUBLE peak RAM on a
+            # multi-GB table just to zero rows
             # q4/qs empty slots are all-zero (label 0); s2 uses EMPTY
-            table[~keep] = 0 if db.layout in ("q4", "qs") else EMPTY
-            db.table = table
+            db.table[~keep] = 0 if db.layout in ("q4", "qs") else EMPTY
         return db
 
     def checksum(self) -> int:
@@ -617,6 +618,28 @@ def _try_build_q4(kmers, labels, target_names, cfg, nb_bits, seed):
     )
 
 
+def _greedy_fill(idx, buckets, occ, S: int):
+    """Vectorized greedy bucket fill shared by the cuckoo builders:
+    rank each item within its bucket run (stable argsort), accept those
+    whose slot = occupancy + rank lands below S.  Updates `occ` in
+    place.  Returns (placed_buckets, placed_slots, placed_idx,
+    leftover_idx)."""
+    if len(idx) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z, idx
+    order = np.argsort(buckets, kind="stable")
+    sidx = idx[order]
+    sbuck = buckets[order]
+    first = np.r_[True, sbuck[1:] != sbuck[:-1]]
+    run_start = np.flatnonzero(first)
+    rank = np.arange(len(sbuck)) - run_start[np.cumsum(first) - 1]
+    sl = occ[sbuck] + rank
+    fits = sl < S
+    pb = sbuck[fits]
+    occ += np.bincount(pb, minlength=len(occ)).astype(occ.dtype)
+    return pb, sl[fits], sidx[fits], sidx[~fits]
+
+
 def _cuckoo_place(b1, b2, nb: int, S: int):
     """Two-choice bucketed cuckoo placement.
 
@@ -630,24 +653,11 @@ def _cuckoo_place(b1, b2, nb: int, S: int):
     choice = np.zeros(n, dtype=np.uint8)
 
     def place_bulk(idx, buckets, ch):
-        nonlocal occ
-        if len(idx) == 0:
-            return idx
-        order = np.argsort(buckets, kind="stable")
-        sidx = idx[order]
-        sbuck = buckets[order]
-        first = np.r_[True, sbuck[1:] != sbuck[:-1]]
-        run_id = np.cumsum(first) - 1
-        run_start = np.flatnonzero(first)
-        rank = np.arange(len(sbuck)) - run_start[run_id]
-        sl = occ[sbuck] + rank
-        fits = sl < S
-        pi = sidx[fits]
-        bucket[pi] = sbuck[fits]
-        slot[pi] = sl[fits]
+        pb, ps, pi, left = _greedy_fill(idx, buckets, occ, S)
+        bucket[pi] = pb
+        slot[pi] = ps
         choice[pi] = ch
-        occ += np.bincount(sbuck[fits], minlength=nb).astype(np.int32)
-        return sidx[~fits]
+        return left
 
     all_idx = np.arange(n)
     rest = place_bulk(all_idx, b1[all_idx], 0)
@@ -723,30 +733,11 @@ def _try_build_np(kmers, labels, target_names, cfg, nb_bits):
     occ = np.zeros(nb, dtype=np.int32)
 
     def place_bulk(idx, buckets):
-        """Vectorized greedy fill: for each item, take a free slot in its
-        bucket if the bucket has room after accounting for earlier items
-        in this pass.  Returns indices that did not fit."""
-        nonlocal occ
-        if len(idx) == 0:
-            return idx
-        order = np.argsort(buckets, kind="stable")
-        sidx = idx[order]
-        sbuck = buckets[order]
-        # rank of each item within its bucket run
-        first = np.r_[True, sbuck[1:] != sbuck[:-1]]
-        run_id = np.cumsum(first) - 1
-        run_start = np.flatnonzero(first)
-        rank = np.arange(len(sbuck)) - run_start[run_id]
-        slot = occ[sbuck] + rank
-        fits = slot < S
-        pb, ps, pi = sbuck[fits], slot[fits], sidx[fits]
+        pb, ps, pi, left = _greedy_fill(idx, buckets, occ, S)
         keys_lo[pb, ps] = lo[pi]
         keys_hi[pb, ps] = hi[pi]
         labs[pb, ps] = labels[pi]
-        # update occupancy: occ[b] += count placed in b
-        cnt = np.bincount(pb, minlength=nb)
-        occ += cnt.astype(np.int32)
-        return sidx[~fits]
+        return left
 
     all_idx = np.arange(len(kmers))
     rest = place_bulk(all_idx, b1[all_idx])

@@ -70,8 +70,11 @@ def scan_fasta(buf: np.ndarray):
         nl = np.r_[nl, len(buf)]  # virtual newline: truncated tail
     hdr_s = starts + 1
     hdr_e = nl[np.searchsorted(nl, starts)]
-    seq_s = hdr_e + 1
+    # a final header-only record without its newline has hdr_e at the
+    # virtual end-of-buffer newline; clamp so seq_s never exceeds
+    # seq_e (a negative-length range would crash the packer)
     seq_e = np.r_[starts[1:], len(buf)]
+    seq_s = np.minimum(hdr_e + 1, seq_e)
     name_e = _token_ends(buf, hdr_s, hdr_e)
     return hdr_s, name_e, seq_s, seq_e
 

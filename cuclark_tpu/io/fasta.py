@@ -33,7 +33,10 @@ def _open(path):
     head = raw.read(2)
     raw.seek(0)
     if head == b"\x1f\x8b":
-        return gzip.open(raw)
+        # reopen by PATH: GzipFile(fileobj=raw).close() would not close
+        # raw, leaking one fd per gzipped genome until GC
+        raw.close()
+        return gzip.open(p, "rb")
     return raw
 
 

@@ -279,3 +279,24 @@ def test_scan_fasta_truncated_header_no_crash():
     for scanner in (fast_parse.scan_fasta, native.scan):
         ns, ne, ss, se = scanner(buf)
         assert fast_parse.names_of(buf, ns, ne)[0] == "s1"
+
+
+def test_scan_fasta_truncated_header_packs_safely():
+    """The header-only final record yields an EMPTY in-bounds seq range
+    (seq_s <= seq_e <= len) in BOTH scanners, so the packers get a
+    zero-length row instead of IndexError / length -1 (a truncated
+    download must degrade, not crash the classify run)."""
+    for data in (b">a\nACGT\n>NC_0012", b">a\nACGT\n>b\n",
+                 b">only_header"):
+        buf = np.frombuffer(data, np.uint8)
+        packed = []
+        for scanner in (fast_parse.scan_fasta, native.scan):
+            ns, ne, ss, se = scanner(buf)
+            assert (ss <= se).all() and (se <= len(buf)).all(), data
+            codes, lengths = fast_parse.pack_block(buf, ss, se, 16)
+            assert (lengths >= 0).all()
+            assert int(lengths[-1]) == 0  # the header-only record
+            packed.append((codes.tobytes(), lengths.tolist()))
+        # offsets may differ (numpy keeps the trailing newline in the
+        # seq range; the packer skips it) but the packed reads agree
+        assert packed[0] == packed[1], data
