@@ -65,10 +65,24 @@ def export_clark_db(kmers: np.ndarray, labels: np.ndarray, base,
     quot = quot[order]
     labs = (labels[order] - 1).astype(np.uint16)
 
+    # validate the 255-entry bucket cap BEFORE writing anything — the
+    # reference aborts the same way (hashTable_hh.hh:616-624), but
+    # failing after .ky/.lb hit the disk would leave a corrupt partial
+    # export behind
+    if len(bucket):
+        run_starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        run_len = np.diff(np.r_[run_starts, len(bucket)])
+        if int(run_len.max()) > 255:
+            raise ValueError(
+                "This table can not be stored on disk: Some bucket "
+                "list size exceeds 255.")  # hashTable_hh.hh:616-624
+
+    # tofile() streams without the second whole-array bytes copy that
+    # tobytes() would build (~2.4 GB extra at RefSeq scale)
     with open(base + ".ky", "wb") as f:
-        f.write(np.ascontiguousarray(quot.astype(kdt)).tobytes())
+        quot.astype(kdt).tofile(f)
     with open(base + ".lb", "wb") as f:
-        f.write(labs.tobytes())
+        labs.tofile(f)
     with open(base + ".sz", "wb") as f:
         for lo in range(0, htsize, _CHUNK_BUCKETS):
             hi = min(htsize, lo + _CHUNK_BUCKETS)
@@ -76,11 +90,7 @@ def export_clark_db(kmers: np.ndarray, labels: np.ndarray, base,
             b = np.searchsorted(bucket, hi)
             cnt = np.bincount((bucket[a:b] - lo).astype(np.int64),
                               minlength=hi - lo)
-            if cnt.size and cnt.max() > 255:
-                raise ValueError(
-                    "This table can not be stored on disk: Some bucket "
-                    "list size exceeds 255.")  # hashTable_hh.hh:616-624
-            f.write(cnt.astype(np.uint8).tobytes())
+            cnt.astype(np.uint8).tofile(f)
     return len(kmers)
 
 

@@ -39,7 +39,11 @@ def kmer_strings(kmers: np.ndarray, k: int) -> np.ndarray:
 
 
 def ht_filename(label: str, k: int, light: bool = False) -> str:
-    return f"{label}_k{k}{'_light' if light else ''}.ht"
+    # labels may carry path separators (NCBI names contain slashes);
+    # the export layout is FLAT — a separator would either crash the
+    # open() or hide the file from import_ht_dir's glob
+    safe = label.replace("/", "_").replace("\\", "_")
+    return f"{safe}_k{k}{'_light' if light else ''}.ht"
 
 
 def export_ht_dir(kmers: np.ndarray, labels: np.ndarray,
@@ -54,6 +58,13 @@ def export_ht_dir(kmers: np.ndarray, labels: np.ndarray,
     out_dir.mkdir(parents=True, exist_ok=True)
     kmers = np.asarray(kmers, np.uint64)
     labels = np.asarray(labels, np.uint32)
+    if labels.size and (labels.min() < 1
+                        or labels.max() >= len(target_names)):
+        # silently dropping out-of-range labels would re-import as a
+        # smaller database with no diagnostic
+        raise ValueError(
+            f"labels must be in [1, {len(target_names) - 1}]: got "
+            f"range [{labels.min()}, {labels.max()}]")
     if counts is None:
         counts = np.ones(len(kmers), np.uint32)
     order = np.argsort(labels, kind="stable")

@@ -331,7 +331,10 @@ class Classifier:
         stash = (self.np_stash.nbytes // num_db
                  if self.np_stash is not None else 0)
         avail = dev_mb * 1e6 - 2 * part - stash
-        return int(np.clip(avail // per_batch, base, 512))
+        # NOT np.clip: with base > 512 numpy's a_min > a_max rule would
+        # silently return 512 and break the "at least cfg.stream_group"
+        # contract; an explicitly larger configured group is honored
+        return max(base, min(int(avail // per_batch), 512))
 
     def _plan_parts(self, main_np, stash_np, num_db: int) -> int:
         """Streaming-part plan honoring the REAL device footprint: the
@@ -579,17 +582,15 @@ class Classifier:
             rows = self.classify_file(path, paired_path, skip=skip,
                                       num_hosts=num_hosts, host_id=host_id)
             n = 0
-            hmin, hmax, hsum = None, 0, 0
+            hstats = [None, 0, 0]  # same triple CsvSink accumulates
 
             def counted(it):
-                nonlocal n, hmin, hmax, hsum
+                nonlocal n
                 for r in it:
                     n += 1
                     if "target_counts" in r:
-                        h = len(r["target_counts"])
-                        hmin = h if hmin is None else min(hmin, h)
-                        hmax = max(hmax, h)
-                        hsum += h
+                        accumulate_hit_stats(
+                            hstats, np.array([len(r["target_counts"])]))
                     yield r
 
             if append:
@@ -606,8 +607,9 @@ class Classifier:
                 # reference extended-mode hit stats (CuCLARK_hh.hh:2075-2080)
                 import sys
 
-                print(f"MIN targets: {hmin or 0}, MAX targets: {hmax}, "
-                      f"AVG targets: {hsum / n:g}", file=sys.stderr)
+                print(f"MIN targets: {hstats[0] or 0}, MAX targets: "
+                      f"{hstats[1]}, AVG targets: {hstats[2] / n:g}",
+                      file=sys.stderr)
             return n
 
         from collections import deque

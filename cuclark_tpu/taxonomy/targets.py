@@ -46,14 +46,35 @@ def set_targets(args) -> int:
         return 1
     if args.rank == "custom":
         # custom mode: label = file stem (reference custom DB workflow,
-        # README.md custom targets)
-        lines = [f"{p} {p.stem}" for p in files]
+        # README.md custom targets); strip a trailing .gz BEFORE the
+        # suffix so compressed and plain copies of a genome get the
+        # SAME label (Path('x.fna.gz').stem is 'x.fna')
+        def label_of(p: Path) -> str:
+            name = p.name[:-3] if p.name.lower().endswith(".gz") else p.name
+            return Path(name).stem
+
+        lines = [f"{p} {label_of(p)}" for p in files]
         excluded = []
     else:
         tax = Path(args.taxonomy_dir)
-        parent, rank = ncbi.load_nodes(tax / "nodes.dmp")
-        names_p = tax / "names.dmp"
-        names = ncbi.load_names(names_p) if names_p.exists() else None
+
+        def dump(name: str) -> Path | None:
+            # the ncbi loaders read gzipped dumps transparently
+            # (_open_maybe_gz); resolve either form here
+            for cand in (tax / name, tax / f"{name}.gz"):
+                if cand.exists():
+                    return cand
+            return None
+
+        nodes_p = dump("nodes.dmp")
+        if nodes_p is None:
+            print(f"error: no nodes.dmp (or nodes.dmp.gz) in {tax}",
+                  file=sys.stderr)
+            return 1
+        parent, rank = ncbi.load_nodes(nodes_p)
+        names_p = dump("names.dmp")
+        names = ncbi.load_names(names_p) if names_p else None
+        merged_p = dump("merged.dmp")
         a2t_files = sorted(tax.glob("*accession2taxid*"))
         accs = {}
         for p in files:
@@ -62,7 +83,7 @@ def set_targets(args) -> int:
                 accs[str(p)] = acc
         acc2tid = ncbi.accession_to_taxid(
             set(accs.values()), a2t_files,
-            merged=ncbi.load_merged(tax / "merged.dmp") if (tax / "merged.dmp").exists() else None,
+            merged=ncbi.load_merged(merged_p) if merged_p else None,
         )
         file_taxids = [
             (fp, acc2tid[acc]) for fp, acc in accs.items() if acc in acc2tid
