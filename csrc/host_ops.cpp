@@ -40,6 +40,8 @@ static const uint8_t* base_lut() {
     return lut.t;
 }
 #define LUT (base_lut())
+// hoist `const uint8_t* lut = LUT;` before hot loops: the macro
+// re-executes the C++11 static-init acquire guard per expansion
 #define init_lut() ((void)0)
 
 // Scan a FASTQ buffer: fill per-record offsets.  Returns record count
@@ -116,7 +118,7 @@ int64_t scan_fasta(const uint8_t* buf, int64_t n,
 void pack_block(const uint8_t* buf,
                 const int64_t* seq_s, const int64_t* seq_e, int64_t nrec,
                 uint8_t* codes, int64_t L, int64_t* lengths) {
-    init_lut();
+    const uint8_t* lut = LUT;
     // rows are disjoint -> embarrassingly parallel (the reference packs
     // with an OpenMP team too, src/CuCLARK_hh.hh:1609-1763)
 #pragma omp parallel for schedule(static) if (nrec >= 256)
@@ -127,7 +129,7 @@ void pack_block(const uint8_t* buf,
         for (int64_t i = seq_s[r]; i < seq_e[r]; i++) {
             uint8_t ch = buf[i];
             if (ch == '\n' || ch == '\r') continue;
-            if (w < L) row[w++] = LUT[ch];
+            if (w < L) row[w++] = lut[ch];
             len++;
         }
         lengths[r] = len;
@@ -146,7 +148,7 @@ void pack_block2(const uint8_t* buf,
                  const int64_t* seq_s, const int64_t* seq_e, int64_t nrec,
                  uint8_t* packed2, uint8_t* vbits, int64_t Lp,
                  int64_t maxw, int64_t* lengths) {
-    init_lut();
+    const uint8_t* lut = LUT;
     const int64_t W2 = Lp / 4, WV = Lp / 8;
     if (maxw > Lp) maxw = Lp;
 #pragma omp parallel for schedule(static) if (nrec >= 256)
@@ -160,7 +162,7 @@ void pack_block2(const uint8_t* buf,
             uint8_t ch = buf[i];
             if (ch == '\n' || ch == '\r') continue;
             if (w < maxw) {
-                uint8_t c = LUT[ch];
+                uint8_t c = lut[ch];
                 if (c != 4) {
                     p2[w >> 2] |= (uint8_t)(c << ((w & 3) * 2));
                     vb[w >> 3] |= (uint8_t)(1u << (w & 7));
@@ -184,7 +186,7 @@ void pack_block2_paired(const uint8_t* buf1,
                         const int64_t* s2, const int64_t* e2,
                         int64_t nrec, uint8_t* packed2, uint8_t* vbits,
                         int64_t Lp, int64_t maxw, int64_t* lengths) {
-    init_lut();
+    const uint8_t* lut = LUT;
     const int64_t W2 = Lp / 4, WV = Lp / 8;
     if (maxw > Lp) maxw = Lp;
 #pragma omp parallel for schedule(static) if (nrec >= 256)
@@ -202,7 +204,7 @@ void pack_block2_paired(const uint8_t* buf1,
                 uint8_t ch = buf[i];
                 if (ch == '\n' || ch == '\r') continue;
                 if (w < maxw) {
-                    uint8_t c = LUT[ch];
+                    uint8_t c = lut[ch];
                     if (c != 4) {
                         p2[w >> 2] |= (uint8_t)(c << ((w & 3) * 2));
                         vb[w >> 3] |= (uint8_t)(1u << (w & 7));
@@ -223,7 +225,7 @@ void pack_block2_paired(const uint8_t* buf1,
 // (src/CuCLARK_hh.hh:1100-1163).  Returns number of k-mers written.
 int64_t extract_canonical(const uint8_t* seq, int64_t n, int32_t k,
                           uint64_t* out) {
-    init_lut();
+    const uint8_t* lut = LUT;
     const int shift = 2 * (k - 1);
     const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
     uint64_t fwd = 0, rev = 0;
@@ -231,7 +233,7 @@ int64_t extract_canonical(const uint8_t* seq, int64_t n, int32_t k,
     for (int64_t i = 0; i < n; i++) {
         uint8_t ch = seq[i];
         if (ch == '\n' || ch == '\r') continue;
-        uint8_t c = LUT[ch];
+        uint8_t c = lut[ch];
         if (c == 4) { fill = 0; fwd = 0; rev = 0; continue; }
         fwd = ((fwd << 2) | c) & mask;
         rev = (rev >> 2) | ((uint64_t)(3 - c) << shift);
@@ -248,14 +250,14 @@ int64_t extract_canonical(const uint8_t* seq, int64_t n, int32_t k,
 int64_t extract_canonical_light(const uint8_t* seq, int64_t n, int32_t k,
                                 int32_t gap, int64_t* iter_io,
                                 uint64_t* out) {
-    init_lut();
+    const uint8_t* lut = LUT;
     const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
     uint64_t fwd = 0;
     int64_t fill = 0, cnt = 0, iter = *iter_io;
     for (int64_t i = 0; i < n; i++) {
         uint8_t ch = seq[i];
         if (ch == '\n' || ch == '\r') continue;
-        uint8_t c = LUT[ch];
+        uint8_t c = lut[ch];
         if (c == 4) { fill = 0; fwd = 0; continue; }
         fwd = ((fwd << 2) | c) & mask;
         if (++fill == k) {
@@ -600,6 +602,22 @@ void spill_partition(const uint64_t* km, const uint32_t* lb,
 
 #include <cstdio>
 #include <cstdlib>
+#include <locale.h>
+
+// Numeric formatting/parsing must be locale-INDEPENDENT: an embedding
+// application may set LC_NUMERIC (e.g. de_DE), which would turn %g
+// decimal points into commas (corrupting the CSV column count) and
+// make strtod reject '0.75'.  uselocale() is per-thread; each worker
+// switches to a cached "C" locale for the duration of its work.
+static locale_t c_locale() {
+    static locale_t l = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return l;
+}
+struct CLocaleScope {
+    locale_t old;
+    CLocaleScope() : old(uselocale(c_locale())) {}
+    ~CLocaleScope() { uselocale(old); }
+};
 
 static int64_t fmt_rows_range(int64_t lo_r, int64_t hi_r,
                               const int64_t* norm, const double* gamma,
@@ -610,6 +628,7 @@ static int64_t fmt_rows_range(int64_t lo_r, int64_t hi_r,
                               const int64_t* name_s, const int64_t* name_e,
                               const uint8_t* tnames, const int64_t* tname_off,
                               char* out, int64_t cap) {
+    CLocaleScope cls;
     int64_t w = 0;
     for (int64_t i = lo_r; i < hi_r; i++) {
         int64_t nl = name_e[i] - name_s[i];
@@ -708,6 +727,7 @@ static int64_t fmt_rows_ext_range(int64_t lo_r, int64_t hi_r,
                                   const uint8_t* tnames,
                                   const int64_t* tname_off,
                                   char* out, int64_t cap) {
+    CLocaleScope cls;
     int64_t w = 0;
     for (int64_t i = lo_r; i < hi_r; i++) {
         int64_t nl = name_e[i] - name_s[i];
@@ -910,7 +930,10 @@ int64_t csv_tally(const uint8_t* buf, int64_t n,
                   int64_t* counts, int32_t max_names,
                   uint8_t* names, int64_t names_cap, int64_t* name_off,
                   int64_t* total_out) {
-    if (ncols > 4096 || col_assign >= ncols) return -(n + 2);
+    CLocaleScope cls;
+    if (ncols > 4096 || col_assign < 0 || col_assign >= ncols
+        || col_conf >= ncols || col_gamma >= ncols)
+        return -(n + 2);
     int64_t* fs = new int64_t[ncols];
     int64_t* fe = new int64_t[ncols];
     int64_t cap_slots = 64;
@@ -983,7 +1006,9 @@ int64_t count_lines(const uint8_t* buf, int64_t n) {
 int64_t csv_values(const uint8_t* buf, int64_t n,
                    int32_t ncols, int32_t col_val, int32_t col_assign,
                    double* out, int64_t cap) {
-    if (ncols > 4096 || col_val >= ncols || col_assign >= ncols)
+    CLocaleScope cls;
+    if (ncols > 4096 || col_val < 0 || col_val >= ncols
+        || col_assign < 0 || col_assign >= ncols)
         return -(n + 2);
     int64_t* fs = new int64_t[ncols];
     int64_t* fe = new int64_t[ncols];

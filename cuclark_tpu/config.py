@@ -80,8 +80,15 @@ class DBConfig:
             raise ValueError("gap must be >= 1")
         if self.num_choices not in (1, 2):
             raise ValueError("num_choices must be 1 or 2")
-        if self.slots < 1:
-            raise ValueError("slots must be >= 1")
+        if not (1 <= self.slots <= 255):
+            # the native builder tracks bucket occupancy in uint8;
+            # slots past 255 would silently wrap it and corrupt
+            # placement long before any sane configuration needs it
+            raise ValueError("slots must be in [1, 255]")
+        if not (0.0 < self.target_load <= 1.0):
+            # 0 divides by zero in choose_nb_bits; > 1 can never place
+            raise ValueError(
+                f"target_load must be in (0, 1], got {self.target_load}")
         if self.layout not in ("qs", "q4", "s2"):
             raise ValueError("layout must be 'qs', 'q4' or 's2'")
 

@@ -25,11 +25,22 @@ from cuclark_tpu.hashdb import KmerDB, build_table
 from cuclark_tpu.io import fasta
 
 
+def _strip_newlines(seq: bytes | np.ndarray) -> np.ndarray:
+    """Drop '\\n'/'\\r' bytes so the numpy extractors match the native
+    ones, which SKIP newlines instead of breaking the k-mer window — a
+    caller passing raw multi-line FASTA bytes must get the same
+    database whichever implementation runs."""
+    buf = (np.frombuffer(seq, np.uint8)
+           if isinstance(seq, (bytes, bytearray))
+           else np.asarray(seq, np.uint8))
+    return buf[(buf != 10) & (buf != 13)]
+
+
 def extract_canonical_np(seq: bytes | np.ndarray, k: int) -> np.ndarray:
     """All overlapping canonical k-mers of one sequence (uint64),
     honoring part semantics (no k-mer spans a non-ACGT char) — the full
     mode build walk (src/CuCLARK_hh.hh:1100-1163)."""
-    codes = codec.encode_ascii(seq).astype(np.int64)
+    codes = codec.encode_ascii(_strip_newlines(seq)).astype(np.int64)
     n = len(codes)
     if n < k:
         return np.empty(0, dtype=np.uint64)
@@ -54,7 +65,7 @@ def extract_canonical_light_np(seq: bytes | np.ndarray, k: int, gap: int,
     keeping every gap-th block.  The block counter `iter` persists
     across parts and sequences of one genome file (it is only reset per
     file in the reference).  Returns (kmers, iter)."""
-    codes = codec.encode_ascii(seq).astype(np.int64)
+    codes = codec.encode_ascii(_strip_newlines(seq)).astype(np.int64)
     valid = codes < codec.INVALID
     out = []
     it = iter0

@@ -25,6 +25,29 @@ _U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _U64P = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 
 
+def _cache_dir() -> Path:
+    """User-owned 0700 cache directory for the compiled library.
+
+    NOT the world-writable tempdir: the cache path is predictable (a
+    public hash of the source), so on a shared host another local user
+    could pre-plant a malicious .so there and ctypes.CDLL would execute
+    its constructor with this process's privileges."""
+    d = Path(os.environ.get("XDG_CACHE_HOME")
+             or Path.home() / ".cache") / "cuclark_tpu" / "native"
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        os.chmod(d, 0o700)
+        return d
+    except OSError:
+        # no usable home: fall back to a per-uid tempdir subdirectory
+        d = Path(tempfile.gettempdir()) / f"cuclark_tpu_{os.getuid()}"
+        d.mkdir(mode=0o700, parents=True, exist_ok=True)
+        if d.stat().st_uid != os.getuid():
+            raise RuntimeError(f"native cache dir {d} owned by another "
+                               f"user")
+        return d
+
+
 def _build() -> ctypes.CDLL | None:
     if not _SRC.exists():
         return None
@@ -33,7 +56,10 @@ def _build() -> ctypes.CDLL | None:
     # cache tag covers source AND compile command: a flag-only change
     # must not silently reuse a binary built with the old flags
     tag = hashlib.sha256(src + "\0".join(flags).encode()).hexdigest()[:16]
-    cache = Path(tempfile.gettempdir()) / f"cuclark_host_ops_{tag}.so"
+    try:
+        cache = _cache_dir() / f"cuclark_host_ops_{tag}.so"
+    except (RuntimeError, OSError):
+        return None
     if not cache.exists():
         # per-process temp name: concurrent first-use builds (parallel
         # CLI runs / multi-process hosts) must not interleave writes
@@ -471,7 +497,9 @@ def csv_tally(buf: np.ndarray, ncols: int, col_assign: int,
     if r < 0:
         raise ValueError(
             f"malformed result CSV row at byte {-r - 1 + offset0}")
-    blob = names.tobytes()
+    # slice BEFORE tobytes: only the used prefix (KBs) copies, not the
+    # whole scratch blob (64 MB at the default max_names)
+    blob = names[:int(name_off[r])].tobytes()
     out_names = [blob[name_off[i]:name_off[i + 1]].decode("utf-8",
                                                           "replace")
                  for i in range(r)]
@@ -495,6 +523,9 @@ def csv_values(buf: np.ndarray, ncols: int, col_val: int,
     out = np.empty(cap, np.float64)
     r = lib.csv_values(buf, len(buf), ncols, col_val, col_assign, out,
                        cap)
+    if r == -(len(buf) + 2):
+        raise ValueError("csv_values: bad column arguments or row "
+                         "capacity exceeded")
     if r < 0:
         raise ValueError(
             f"malformed result CSV row at byte {-r - 1 + offset0}")

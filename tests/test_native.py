@@ -300,3 +300,51 @@ def test_scan_fasta_truncated_header_packs_safely():
         # offsets may differ (numpy keeps the trailing newline in the
         # seq range; the packer skips it) but the packed reads agree
         assert packed[0] == packed[1], data
+
+
+def test_extract_newline_parity():
+    """Raw multi-line FASTA bytes yield the SAME k-mers from the native
+    extractors (which skip newlines) and the numpy fallbacks (which
+    previously broke the window at '\\n') — the database must not
+    depend on compiler availability."""
+    seq = b"ACGTACGTAC\nGTACGTNACG\r\nTACGTACGTA"
+    flat = seq.replace(b"\n", b"").replace(b"\r", b"")
+    for k in (5, 9):
+        a = extract_canonical_np(seq, k)
+        b = extract_canonical_np(flat, k)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(
+            np.sort(a), np.sort(native.extract_canonical(seq, k)))
+        la, _ = extract_canonical_light_np(seq, k, 2)
+        lb, _ = native.extract_canonical_light(seq, k, 2)
+        np.testing.assert_array_equal(np.sort(la), np.sort(lb))
+
+
+def test_csv_format_locale_independent():
+    """A non-C LC_NUMERIC locale must not turn %g decimal points into
+    commas (which would corrupt the CSV column count) or break float
+    parsing in csv_tally."""
+    import locale
+
+    try:
+        locale.setlocale(locale.LC_NUMERIC, "de_DE.UTF-8")
+    except locale.Error:
+        import pytest
+
+        pytest.skip("de_DE.UTF-8 locale not installed")
+    try:
+        buf = np.frombuffer(b"@r0\nACGT\n+\nIIII\n", np.uint8)
+        ns, ne, ss, se = native.scan(buf)
+        tnb, tno = native.pack_target_names(["NA", "T1"])
+        out = native.format_rows(
+            np.array([4], np.int64), np.array([0.125], np.float64),
+            np.array([1], np.int32), np.array([3], np.int32),
+            np.array([0], np.int32), np.array([0], np.int32),
+            np.array([0.75], np.float64), buf, ns, ne, tnb, tno)
+        assert out == b"r0,4,0.125,T1,3,NA,0,0.75\n", out
+        body = np.frombuffer(b"r0,100,0.9,T1,50,NA,0,0.75\n", np.uint8)
+        names, counts, total = native.csv_tally(body, 8, 3, 7, 2,
+                                                0.5, 0.0)
+        assert total == 1 and counts[names.index("T1")] == 1
+    finally:
+        locale.setlocale(locale.LC_NUMERIC, "C")
