@@ -83,6 +83,17 @@ def read_records(path):
                 header = bio.readline()
                 if not header:
                     break
+                if not header.strip():
+                    # blank line: tolerated at EOF only (an editor-
+                    # appended trailing newline must not crash what the
+                    # fast scanner accepts), but a MID-file blank
+                    # desyncs the 4-line frame and errors there too
+                    rest = bio.read()
+                    if rest.strip():
+                        raise ValueError(
+                            f"malformed FASTQ record in {path}: blank "
+                            f"line inside the file")
+                    break
                 if not header.startswith(b"@"):
                     raise ValueError(
                         f"malformed FASTQ record in {path}: line does "

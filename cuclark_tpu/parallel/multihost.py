@@ -48,16 +48,17 @@ def host_byte_range(file_size: int, num_hosts: int, host_id: int):
 
 def align_to_fasta_record(buf: np.ndarray, offset: int) -> int:
     """Scan forward from offset to the next '>' at a line start
-    (reference FASTA batch split, src/CuCLARK_hh.hh:1363-1365)."""
+    (reference FASTA batch split, src/CuCLARK_hh.hh:1363-1365).
+    Vectorized: a Python per-byte loop costs ~135 ns/byte — minutes on
+    the chromosome-scale records a pod shards."""
     n = len(buf)
     if offset == 0:
         return 0
-    i = offset
-    while i < n:
-        if buf[i] == ord(">") and buf[i - 1] == ord("\n"):
-            return i
-        i += 1
-    return n
+    if offset >= n:
+        return n
+    cand = np.flatnonzero((buf[offset:] == ord(">"))
+                          & (buf[offset - 1:n - 1] == ord("\n")))
+    return int(offset + cand[0]) if len(cand) else n
 
 
 def align_to_fastq_record(buf: np.ndarray, offset: int) -> int:
@@ -73,21 +74,17 @@ def align_to_fastq_record(buf: np.ndarray, offset: int) -> int:
     n = len(buf)
     if offset == 0:
         return 0
-    # positions of the next several line starts
-    i = offset
-    # move to the next line start
-    while i < n and buf[i - 1] != ord("\n"):
-        i += 1
-    starts = []
-    j = i
-    while j < n and len(starts) < 12:
-        starts.append(j)
-        while j < n and buf[j] != ord("\n"):
-            j += 1
-        j += 1
-    for idx, s in enumerate(starts):
+    if offset >= n:
+        return n
+    # line starts at/after offset = newline positions + 1 (vectorized;
+    # the per-byte Python walk took ~135 ns/byte on large records)
+    nl = np.flatnonzero(buf[offset - 1:] == ord("\n"))
+    starts = (offset - 1 + nl + 1)[:12]
+    starts = starts[starts < n]
+    for idx in range(len(starts)):
+        s = int(starts[idx])
         if (buf[s] == ord("@") and idx + 2 < len(starts)
-                and buf[starts[idx + 2]] == ord("+")):
+                and buf[int(starts[idx + 2])] == ord("+")):
             return s
     return n
 
@@ -265,17 +262,12 @@ class GlobalClassifier:
         nproc, pid = self.nproc, self.pid
         paired = paired_path is not None
 
-        # 1.+2. this process's record block (absolute offsets into buf)
-        if paired or nproc == 1:
-            # paired mate files shard by record index (whole-file scan
-            # keeps both files aligned); single-process scans everything
-            buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
-                clf._scan_for_classify(path, paired_path, 0, nproc, pid))
-        else:
-            # per-host byte-range I/O + scan: only this slice's bytes
-            buf, name_s, name_e, seq_s, seq_e = read_host_slice(
-                path, nproc, pid)
-            buf2 = seq_s2 = seq_e2 = None
+        # 1.+2. this process's record block (absolute offsets into buf):
+        # _scan_for_classify already branches between per-host
+        # byte-range I/O (plain multi-host) and whole-file scans with
+        # record-index sharding (paired: keeps mate files aligned)
+        buf, buf2, name_s, name_e, seq_s, seq_e, seq_s2, seq_e2 = (
+            clf._scan_for_classify(path, paired_path, 0, nproc, pid))
         n_local = len(seq_s)
         raw_len = seq_e - seq_s
         if buf2 is not None:
@@ -298,7 +290,7 @@ class GlobalClassifier:
 
         step = self.rows_global // nproc
         B_local = max(cfg.batch_reads, step)
-        B_local -= B_local % step or 0
+        B_local -= B_local % step
         cap = max(step, _Clf.MAX_BATCH_CELLS // L // step * step)
         B_local = min(B_local, cap)
         n_batches = max(1, -(-max_block // B_local))
@@ -309,7 +301,12 @@ class GlobalClassifier:
         # path accumulates inside CsvSink): [min, max, sum] of distinct
         # hit targets per read, allreduced across ranks before printing
         hstats = [None, 0, 0]
-        out_p = f"{out_path}.h{pid:03d}" if nproc > 1 else out_path
+        # pad width grows past 3 digits with the process count so
+        # lexicographic shard order == rank order at any scale
+        # ('out.h1000' must not sort before 'out.h999')
+        width = max(3, len(str(nproc - 1)))
+        out_p = (f"{out_path}.h{pid:0{width}d}" if nproc > 1
+                 else out_path)
         with open(out_p, "wb") as f:
             sink = (CsvSink(f, db, cfg.extended, paired)
                     if use_native else None)
@@ -332,18 +329,21 @@ class GlobalClassifier:
                                cnt)
                     written = sink.total_rows
                 else:
+                    counts_pre = None
                     if cfg.extended and labels_np is not None and cnt:
                         from cuclark_tpu.pipeline import (
                             accumulate_hit_stats, dense_counts)
 
+                        # computed once, reused by _emit_np below
+                        counts_pre = dense_counts(labels_np[:cnt],
+                                                  db.num_targets)
                         accumulate_hit_stats(
                             hstats,
-                            (dense_counts(labels_np[:cnt],
-                                          db.num_targets)[:, 1:]
-                             > 0).sum(axis=1))
+                            (counts_pre[:, 1:] > 0).sum(axis=1))
                     names = fast_parse.names_of(buf, ns, ne)
                     for row in clf._emit_np(results, labels_np, names,
-                                            lengths, cnt, paired):
+                                            lengths, cnt, paired,
+                                            counts=counts_pre):
                         f.write(format_row(row, db.target_names,
                                            cfg.extended).encode())
                         written += 1

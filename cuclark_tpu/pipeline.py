@@ -846,15 +846,14 @@ class Classifier:
                                  paired)
 
     def _emit_np(self, results, labels_np, names, lengths, count,
-                 paired: bool):
+                 paired: bool, counts=None):
         results = results[:count]  # drop mesh data-axis padding rows
         lengths = lengths[:count]
         total, ibest, best, isecond, second = (results[:, i] for i in range(5))
         norm, gamma, conf = score.gamma_confidence(
             total, best, second, lengths, self.db.k, paired
         )
-        counts = None
-        if labels_np is not None:
+        if counts is None and labels_np is not None:
             counts = dense_counts(labels_np[:count], self.db.num_targets)
         for i in range(count):
             row = {
