@@ -585,3 +585,66 @@ def test_read_host_slice_gzip_fallback(tmp_path):
         w, ns, ne, _, _ = multihost.read_host_slice(str(p), 3, h)
         got.extend(fast_parse.names_of(w, ns, ne))
     assert got == want
+
+
+def test_record_aligners_match_bruteforce():
+    """The vectorized boundary aligners reproduce the per-byte
+    reference algorithms at every offset of randomized FASTA/FASTQ
+    buffers (they feed per-host byte-range sharding; a one-off error
+    would silently duplicate or drop reads at shard boundaries)."""
+    import random
+
+    import numpy as np
+
+    from cuclark_tpu.parallel import multihost
+
+    def brute_fasta(buf, offset):
+        n = len(buf)
+        if offset == 0:
+            return 0
+        i = offset
+        while i < n:
+            if buf[i] == ord(">") and buf[i - 1] == ord("\n"):
+                return i
+            i += 1
+        return n
+
+    def brute_fastq(buf, offset):
+        n = len(buf)
+        if offset == 0:
+            return 0
+        i = offset
+        while i < n and buf[i - 1] != ord("\n"):
+            i += 1
+        starts = []
+        j = i
+        while j < n and len(starts) < 12:
+            starts.append(j)
+            while j < n and buf[j] != ord("\n"):
+                j += 1
+            j += 1
+        for idx, s in enumerate(starts):
+            if (buf[s] == ord("@") and idx + 2 < len(starts)
+                    and buf[starts[idx + 2]] == ord("+")):
+                return s
+        return n
+
+    rng = random.Random(77)
+    fa = []
+    for t in range(12):
+        seq = "".join(rng.choice("ACGT") for _ in range(rng.randrange(5, 60)))
+        fa.append(f">rec{t} desc\n{seq}\n")
+    fa_buf = np.frombuffer("".join(fa).encode(), np.uint8)
+    fq = []
+    for t in range(12):
+        s = "".join(rng.choice("ACGT") for _ in range(rng.randrange(4, 40)))
+        # quality bytes include '@' and '+' to stress the heuristic
+        q = "".join(rng.choice("@+IJK") for _ in range(len(s)))
+        fq.append(f"@r{t}\n{s}\n+\n{q}\n")
+    fq_buf = np.frombuffer("".join(fq).encode(), np.uint8)
+    for off in range(len(fa_buf) + 1):
+        assert multihost.align_to_fasta_record(fa_buf, off) \
+            == brute_fasta(fa_buf, off), off
+    for off in range(len(fq_buf) + 1):
+        assert multihost.align_to_fastq_record(fq_buf, off) \
+            == brute_fastq(fq_buf, off), off
