@@ -43,10 +43,14 @@ def canonical_value(v: int, k: int) -> int:
 
 
 def read_kmers(seq: str, k: int):
-    """Canonical k-mer values of every valid window (parts semantics)."""
+    """Canonical k-mer values of every valid window (parts semantics).
+
+    Newlines/CR are SKIPPED, not part breaks — the reference's load
+    table maps '\\n' to 'skip' (CuCLARK_hh.hh:1674), so k-mers span
+    line breaks of a wrapped FASTA body."""
     out = []
     part = []
-    for ch in seq:
+    for ch in seq.replace("\n", "").replace("\r", ""):
         if ch in BASE:
             part.append(ch)
         else:
@@ -68,7 +72,6 @@ def light_kmers(seq: str, k: int, gap: int, iter0: int = 0):
     sequences of a genome file.  Returns (kmers, iter)."""
     out = []
     it = iter0
-    part: list[str] = []
 
     def flush(part):
         nonlocal it
@@ -78,7 +81,7 @@ def light_kmers(seq: str, k: int, gap: int, iter0: int = 0):
             it += 1
 
     buf = []
-    for ch in seq:
+    for ch in seq.replace("\n", "").replace("\r", ""):
         if ch in BASE:
             buf.append(ch)
         else:
@@ -88,21 +91,31 @@ def light_kmers(seq: str, k: int, gap: int, iter0: int = 0):
     return out, it
 
 
-def build_db(target_seqs: dict[int, list[str]], k: int, gap: int = 1):
-    """target_seqs: {label(1-based): [genome file seqs...]} (each list
-    element = one file's whole sequence for iter purposes).
+def build_db(target_seqs: dict[int, list], k: int, gap: int = 1):
+    """target_seqs: {label(1-based): [file, ...]} where each file is a
+    str (single-record genome) or a list of record strs.  K-mers never
+    span record boundaries (the rolling k-mer resets at '>' —
+    CuCLARK_hh.hh:964-974) but the light-mode block counter `iter`
+    persists ACROSS records of one file (it is declared per-file,
+    CuCLARK_hh.hh:709).
 
     gap == 1: full mode, every overlapping k-mer; gap > 1: light mode,
     every gap-th non-overlapping block.  Returns {canonical kmer: label}
     for multiplicity-1 (target-specific) k-mers — RemoveCommon semantics.
     """
     seen: dict[int, int] = {}
-    for label, seqs in target_seqs.items():
-        for seq in seqs:
-            if gap > 1:
-                kms, _ = light_kmers(seq, k, gap, 0)
-            else:
-                kms = read_kmers(seq, k)
+    for label, files in target_seqs.items():
+        for file_seq in files:
+            records = ([file_seq] if isinstance(file_seq, str)
+                       else list(file_seq))
+            it = 0
+            kms = []
+            for rec in records:
+                if gap > 1:
+                    rec_kms, it = light_kmers(rec, k, gap, it)
+                    kms.extend(rec_kms)
+                else:
+                    kms.extend(read_kmers(rec, k))
             for km in kms:
                 if km in seen and seen[km] != label:
                     seen[km] = -1  # common to several targets
@@ -137,7 +150,13 @@ def result_line(name, seq_len, k, total, ibest, best, isecond, second,
                 target_names, paired=False):
     """One CLARK CSV row (normal mode), %g formatting."""
     norm = seq_len - 1 if paired else seq_len
-    gamma = float(total) / (float(norm) - k + 1.0)
+    denom = float(norm) - k + 1.0
+    if denom == 0.0:
+        # the reference's C division prints a row with nan (0/0) or
+        # inf for a read of exactly k-1 bases; Python raises instead
+        gamma = float("nan") if total == 0 else float("inf")
+    else:
+        gamma = float(total) / denom
     s = float(best + second)
     conf = 0.0 if s < 0.001 else float(best) / s
     return "%s,%u,%g,%s,%u,%s,%u,%g" % (
