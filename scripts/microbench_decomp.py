@@ -77,7 +77,7 @@ def bench(db):
     def full(table, p2, vb):
         chi, clo, valid = stages(p2, vb)
         lab = probe(table, nb_bits, db.slots, db.num_choices, chi, clo,
-                    layout=layout, seed=seed)
+                    layout=layout, seed=seed, stash_bits=db.stash_bits)
         lab = jnp.where(valid, lab, 0)
         return score.score_labels(lab)[:, 0].sum() % 97
 
